@@ -1,0 +1,415 @@
+"""Multi-limb modular arithmetic over uint32 limb arrays, TPU-first.
+
+This is the L0 layer of the TPU-native halo2 stack: the analogue of the
+reference's `pairing_bn256` field arithmetic plus the `ec-gpu` generated device
+field code (see SURVEY.md §2.9; reference: /root/reference — field ops are
+provided there by the external `pairing_bn256` / `ec-gpu-gen` crates).
+
+Design (TPU-first, not a port):
+  * A field element is a vector of ``N_LIMBS = 16`` limbs of ``LIMB_BITS = 16``
+    bits each, stored **limbs-leading** as ``uint32`` arrays of shape
+    ``(16, *batch)``.  Limbs-leading keeps the (large) batch axis on the TPU
+    lane dimension, so every limb operation is a full-width VPU op over the
+    batch; the limb axis maps to sublanes.
+  * 16-bit limbs make every partial product ``a_i * b_j < 2**32`` exactly
+    representable in uint32; the lo/hi 16-bit split of each product keeps all
+    accumulators below ``2**21``, so schoolbook multiplication never overflows
+    uint32 and needs no 64-bit arithmetic (TPUs have no fast int64).
+  * Montgomery representation with ``R = 2**256`` is the canonical on-device
+    form (mirroring the reference field crates), converted at host boundaries.
+
+All functions are shape-polymorphic over the trailing batch dims and are pure
+jnp (XLA fuses the limb chains); Pallas fusions can replace hot compositions
+later without changing this API.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+N_LIMBS = 16  # 256 bits total
+MASK = (1 << LIMB_BITS) - 1
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (numpy / Python ints)
+# ---------------------------------------------------------------------------
+
+def int_to_limbs_np(x: int, n_limbs: int = N_LIMBS) -> np.ndarray:
+    """Python int -> (n_limbs,) uint32 little-endian 16-bit limbs."""
+    out = np.empty((n_limbs,), dtype=np.uint32)
+    for i in range(n_limbs):
+        out[i] = x & MASK
+        x >>= LIMB_BITS
+    if x:
+        raise ValueError("value does not fit in limbs")
+    return out
+
+
+def ints_to_limbs_np(xs, n_limbs: int = N_LIMBS) -> np.ndarray:
+    """Iterable of ints -> (n_limbs, N) uint32."""
+    xs = list(xs)
+    out = np.empty((n_limbs, len(xs)), dtype=np.uint32)
+    for j, x in enumerate(xs):
+        for i in range(n_limbs):
+            out[i, j] = x & MASK
+            x >>= LIMB_BITS
+    return out
+
+
+def limbs_to_int(limbs: np.ndarray) -> int:
+    """(n_limbs,) array -> Python int."""
+    limbs = np.asarray(limbs)
+    x = 0
+    for i in range(limbs.shape[0] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(limbs[i])
+    return x
+
+
+def limbs_to_ints(limbs: np.ndarray) -> list:
+    """(n_limbs, N) array -> list of N Python ints."""
+    limbs = np.asarray(limbs)
+    return [limbs_to_int(limbs[:, j]) for j in range(limbs.shape[1])]
+
+
+# ---------------------------------------------------------------------------
+# Core limb kernels (jnp, uint32 only)
+# ---------------------------------------------------------------------------
+
+def carry_prop(acc, n_out: int):
+    """Propagate carries over the leading limb axis; acc limbs may exceed 16
+    bits (but must stay < 2**32 including carries).  Returns (limbs, carry)."""
+    outs = []
+    c = jnp.zeros_like(acc[0])
+    for k in range(n_out):
+        t = (acc[k] if k < acc.shape[0] else jnp.zeros_like(c)) + c
+        outs.append(t & MASK)
+        c = t >> LIMB_BITS
+    return jnp.stack(outs), c
+
+
+def mul_wide(a, b):
+    """Full 512-bit product of two 256-bit limb vectors.
+
+    a: (16, *B), b: (16, *B) -> (32, *B) carried 16-bit limbs.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((2 * N_LIMBS,) + batch, dtype=U32)
+    for i in range(N_LIMBS):
+        p = a[i][None] * b  # (16, *B), each < 2**32 exactly
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        acc = acc.at[i:i + N_LIMBS].add(lo)
+        acc = acc.at[i + 1:i + N_LIMBS + 1].add(hi)
+    out, _ = carry_prop(acc, 2 * N_LIMBS)
+    return out
+
+
+def mul_lo(a, b):
+    """Low 256 bits of a*b (mod 2**256), carried 16-bit limbs."""
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((N_LIMBS,) + batch, dtype=U32)
+    for i in range(N_LIMBS):
+        p = a[i][None] * b[:N_LIMBS - i]
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        acc = acc.at[i:N_LIMBS].add(lo)
+        if i + 1 < N_LIMBS:
+            acc = acc.at[i + 1:N_LIMBS].add(hi[:N_LIMBS - i - 1])
+    out, _ = carry_prop(acc, N_LIMBS)
+    return out
+
+
+def add_limbs(a, b, n: int = N_LIMBS):
+    """Limbwise add with carry chain. Returns (limbs, carry_out)."""
+    outs = []
+    c = jnp.zeros_like(a[0] + b[0])
+    for k in range(n):
+        t = a[k] + b[k] + c
+        outs.append(t & MASK)
+        c = t >> LIMB_BITS
+    return jnp.stack(outs), c
+
+
+def sub_limbs(a, b, n: int = N_LIMBS):
+    """Limbwise subtract with borrow chain. Returns (limbs, borrow_out)
+    where borrow_out is 1 iff a < b."""
+    outs = []
+    brw = jnp.zeros_like(a[0] + b[0])
+    for k in range(n):
+        t = a[k] + (1 << LIMB_BITS) - b[k] - brw
+        outs.append(t & MASK)
+        brw = 1 - (t >> LIMB_BITS)
+    return jnp.stack(outs), brw
+
+
+def is_zero(a):
+    """(16, *B) -> bool (*B): all limbs zero."""
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Field context
+# ---------------------------------------------------------------------------
+
+def jit_method(fn=None, *, static_argnums=()):
+    """Wrap an instance method in a per-instance cached ``jax.jit``.
+
+    Eager per-op dispatch is pathologically slow in this environment
+    (~100ms/op); every public Field op therefore runs jitted.  When called
+    inside an outer jit trace this is a cheap inlined call."""
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(self, *args, **kwargs):
+            cache = self.__dict__.setdefault("_jit_cache", {})
+            jitted = cache.get(f.__name__)
+            if jitted is None:
+                jitted = jax.jit(functools.partial(f, self),
+                                 static_argnums=static_argnums)
+                cache[f.__name__] = jitted
+            return jitted(*args, **kwargs)
+        wrapper.__wrapped_raw__ = f
+        return wrapper
+    return deco(fn) if fn is not None else deco
+
+
+class Field:
+    """Constants + ops for one prime field, Montgomery form with R = 2**256.
+
+    The same class serves BN254 Fr and Fq (see fields/bn254.py).
+    Values on device are (16, *batch) uint32 arrays in Montgomery form unless
+    a function says otherwise.
+    """
+
+    def __init__(self, modulus: int, name: str = "F"):
+        self.p = modulus
+        self.name = name
+        self.R = (1 << 256) % modulus
+        self.R2 = (self.R * self.R) % modulus
+        self.R3 = (self.R2 * self.R) % modulus
+        self.R_inv = pow(self.R, modulus - 2, modulus)
+        # -p^{-1} mod 2**256 (Montgomery constant)
+        self.p_inv_neg = (-pow(modulus, -1, 1 << 256)) % (1 << 256)
+        self.num_bits = modulus.bit_length()
+
+        self.p_np = int_to_limbs_np(modulus)
+        self.p_inv_np = int_to_limbs_np(self.p_inv_neg)
+        self.r_np = int_to_limbs_np(self.R)          # = one in Montgomery form
+        self.r2_np = int_to_limbs_np(self.R2)
+        self.zero_np = np.zeros((N_LIMBS,), np.uint32)
+
+    # -- host helpers -----------------------------------------------------
+    def to_mont_int(self, x: int) -> int:
+        return (x * self.R) % self.p
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * self.R_inv) % self.p
+
+    def encode(self, xs) -> np.ndarray:
+        """Python ints (canonical) -> (16, N) uint32 Montgomery limbs."""
+        return ints_to_limbs_np([self.to_mont_int(x % self.p) for x in xs])
+
+    def encode_scalar(self, x: int) -> np.ndarray:
+        return int_to_limbs_np(self.to_mont_int(x % self.p))
+
+    def decode(self, limbs) -> list:
+        """(16, N) Montgomery limbs -> list of canonical Python ints."""
+        return [self.from_mont_int(v) for v in limbs_to_ints(np.asarray(limbs))]
+
+    def decode_scalar(self, limbs) -> int:
+        return self.from_mont_int(limbs_to_int(np.asarray(limbs)))
+
+    # -- constants as jnp -------------------------------------------------
+    @functools.cached_property
+    def p_limbs(self):
+        return jnp.asarray(self.p_np)
+
+    @functools.cached_property
+    def p_inv_limbs(self):
+        return jnp.asarray(self.p_inv_np)
+
+    @functools.cached_property
+    def one(self):
+        """1 in Montgomery form (= R mod p)."""
+        return jnp.asarray(self.r_np)
+
+    @functools.cached_property
+    def r2_limbs(self):
+        return jnp.asarray(self.r2_np)
+
+    @functools.cached_property
+    def zero(self):
+        return jnp.zeros((N_LIMBS,), U32)
+
+    def broadcast_scalar(self, limbs16, batch_shape):
+        """(16,) -> (16, *batch) by broadcast."""
+        return jnp.broadcast_to(
+            jnp.asarray(limbs16).reshape((N_LIMBS,) + (1,) * len(batch_shape)),
+            (N_LIMBS,) + tuple(batch_shape))
+
+    # -- modular ops ------------------------------------------------------
+    def _bshape(self, *xs):
+        return jnp.broadcast_shapes(*[x.shape[1:] for x in xs])
+
+    @jit_method
+    def cond_sub_p(self, x):
+        """x in [0, 2p) -> x mod p."""
+        p = self.broadcast_scalar(self.p_np, x.shape[1:])
+        diff, borrow = sub_limbs(x, p)
+        return jnp.where(borrow == 0, diff, x)
+
+    @jit_method
+    def add(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        s, _ = add_limbs(a, b)  # < 2p < 2**255: no carry out of limb 15
+        return self.cond_sub_p(s)
+
+    @jit_method
+    def sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        d, borrow = sub_limbs(a, b)
+        p = self.broadcast_scalar(self.p_np, d.shape[1:])
+        dp, _ = add_limbs(d, p)
+        return jnp.where(borrow == 1, dp, d)
+
+    @jit_method
+    def neg(self, a):
+        p = self.broadcast_scalar(self.p_np, a.shape[1:])
+        d, _ = sub_limbs(p, a)
+        return jnp.where(is_zero(a)[None], jnp.zeros_like(a), d)
+
+    @jit_method
+    def mont_reduce(self, t32):
+        """(32, *B) T < p*R  ->  (16, *B) T/R mod p."""
+        pinv = self.broadcast_scalar(self.p_inv_np, t32.shape[1:])
+        pl = self.broadcast_scalar(self.p_np, t32.shape[1:])
+        m = mul_lo(t32[:N_LIMBS], pinv)
+        mp = mul_wide(m, pl)  # (32, *B)
+        # T + m*p: divisible by 2**256; keep limbs 16..31 (+ carry into 16)
+        acc = t32.astype(U32) + mp  # each limb < 2**17, safe
+        full, carry = carry_prop(acc, 2 * N_LIMBS)
+        hi = full[N_LIMBS:]
+        # carry out of limb 31 is zero when T < p*R (result < 2p < 2**255)
+        return self.cond_sub_p(hi)
+
+    @jit_method
+    def mul(self, a, b):
+        """Montgomery product: returns a*b/R mod p (both in Montgomery form
+        => result in Montgomery form)."""
+        return self.mont_reduce(mul_wide(a, b))
+
+    @jit_method
+    def square(self, a):
+        return self.mul(a, a)
+
+    @jit_method
+    def to_mont(self, a_std):
+        """standard-form limbs -> Montgomery form."""
+        r2 = self.broadcast_scalar(self.r2_np, a_std.shape[1:])
+        return self.mul(a_std, r2)
+
+    @jit_method
+    def from_mont(self, a_mont):
+        """Montgomery form -> standard-form limbs (canonical, < p)."""
+        one = jnp.zeros_like(a_mont).at[0].set(1)
+        return self.mul(a_mont, one)
+
+    @jit_method(static_argnums=(1,))
+    def pow_static(self, a, e: int):
+        """a**e for a static Python-int exponent.  Square-and-multiply as a
+        ``lax.scan`` over the exponent bits so the compiled graph holds ONE
+        square+multiply body regardless of exponent size (XLA-friendly: no
+        unrolled 254-multiply chains)."""
+        if e == 0:
+            return self.broadcast_scalar(self.r_np, a.shape[1:])
+        bitstr = bin(e)[2:]
+        if len(bitstr) == 1:
+            return a
+        bits = jnp.asarray(np.array([int(c) for c in bitstr[1:]], np.uint32))
+
+        def body(res, bit):
+            res = self.square(res)
+            res = jnp.where((bit == 1), self.mul(res, a), res)
+            return res, None
+
+        result, _ = jax.lax.scan(body, a, bits)
+        return result
+
+    @jit_method
+    def inv(self, a):
+        """Fermat inverse (0 -> 0)."""
+        return self.pow_static(a, self.p - 2)
+
+    @jit_method(static_argnums=(1, 2))
+    def prefix_mul(self, a, reverse: bool = False, block: int = 1024):
+        """Inclusive prefix products of a (16, N) vector.
+
+        Two-level blocked scan: N = B*S elements are laid out as B contiguous
+        chunks of length S; a ``lax.scan`` over S steps computes the per-chunk
+        running products with a (16, B) carry (one vectorized mul per step),
+        then a second tiny scan chains the chunk totals.  Both scan bodies
+        compile to a single field-mul graph — keeping XLA compile time flat in
+        N (a plain associative_scan inlines the mul log2(N) times)."""
+        if a.ndim != 2:
+            raise ValueError("prefix_mul expects (16, N)")
+        n = a.shape[1]
+        if reverse:
+            return jnp.flip(self.prefix_mul(jnp.flip(a, 1), block=block), 1)
+        B = min(block, n)
+        S = -(-n // B)
+        pad = B * S - n
+        one_col = self.broadcast_scalar(self.r_np, (1,))
+        aa = jnp.concatenate([a, jnp.broadcast_to(one_col, (N_LIMBS, pad))], 1) \
+            if pad else a
+        x = aa.reshape(N_LIMBS, B, S).transpose(2, 0, 1)  # (S, 16, B)
+
+        def body(carry, xs):
+            nxt = self.mul(carry, xs)
+            return nxt, nxt
+
+        one_b = self.broadcast_scalar(self.r_np, (B,))
+        _, chunk_pref = jax.lax.scan(body, one_b, x)  # (S, 16, B)
+        totals = chunk_pref[-1]  # (16, B)
+        chunk_pref = chunk_pref.transpose(1, 0, 2)  # (16, S, B) limbs-leading
+
+        def body2(carry, t):
+            # emit exclusive prefix, then fold in this chunk's total
+            return self.mul(carry, t), carry
+
+        _, excl = jax.lax.scan(body2, self.broadcast_scalar(self.r_np, ()),
+                               totals.transpose(1, 0))  # (B, 16)
+        excl = excl.transpose(1, 0)  # (16, B) exclusive chunk prefixes
+        out = self.mul(chunk_pref, excl[:, None, :])  # (16, S, B)
+        out = out.transpose(0, 2, 1).reshape(N_LIMBS, B * S)
+        return out[:, :n]
+
+    @jit_method
+    def batch_inverse(self, a):
+        """Montgomery-trick batch inversion of a (16, N) vector (one field
+        inversion + O(N) muls via blocked prefix/suffix product scans).
+        Zeros map to zeros (matching the reference's batch_invert semantics,
+        /root/reference/halo2_proofs/src/arithmetic.rs:840-844)."""
+        if a.ndim != 2:
+            raise ValueError("batch_inverse expects (16, N)")
+        zmask = is_zero(a)[None]  # (1, N)
+        one = self.broadcast_scalar(self.r_np, a.shape[1:])
+        aa = jnp.where(zmask, one, a)
+
+        pref = self.prefix_mul(aa)
+        suf = self.prefix_mul(aa, reverse=True)
+        total_inv = self.inv(pref[:, -1:])  # (16, 1)
+        # inv(a_i) = prefix_{i-1} * suffix_{i+1} * total_inv
+        left = jnp.concatenate([one[:, :1], pref[:, :-1]], axis=1)
+        right = jnp.concatenate([suf[:, 1:], one[:, :1]], axis=1)
+        out = self.mul(self.mul(left, right), total_inv)
+        return jnp.where(zmask, jnp.zeros_like(a), out)

@@ -1,0 +1,14 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding (jax.sharding.Mesh + shard_map) is exercised without TPU
+hardware. Must set env before jax is imported anywhere."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_num_cpu_devices", 8)
