@@ -183,6 +183,28 @@ def jit_method(fn=None, *, static_argnums=()):
     return deco(fn) if fn is not None else deco
 
 
+class _RawFacade:
+    """Access the un-jitted implementations of a Field's ops.
+
+    ``F.mul`` etc. are wrapped in per-op ``jax.jit`` for fast *eager* use;
+    when composing large traced programs (NTT stages, curve formulas, MSM
+    scans) the nested-jit call boundaries slow compilation, so those callers
+    use ``F.raw.mul`` etc., which trace inline."""
+
+    def __init__(self, field):
+        self._field = field
+
+    def __getattr__(self, name):
+        fn = getattr(type(self._field), name, None)
+        raw = getattr(fn, "__wrapped_raw__", None)
+        if raw is None:
+            bound = getattr(self._field, name)
+        else:
+            bound = functools.partial(raw, self._field)
+        self.__dict__[name] = bound
+        return bound
+
+
 class Field:
     """Constants + ops for one prime field, Montgomery form with R = 2**256.
 
@@ -202,6 +224,7 @@ class Field:
         self.p_inv_neg = (-pow(modulus, -1, 1 << 256)) % (1 << 256)
         self.num_bits = modulus.bit_length()
 
+        self.raw = _RawFacade(self)
         self.p_np = int_to_limbs_np(modulus)
         self.p_inv_np = int_to_limbs_np(self.p_inv_neg)
         self.r_np = int_to_limbs_np(self.R)          # = one in Montgomery form
@@ -272,7 +295,7 @@ class Field:
     def add(self, a, b):
         a, b = jnp.broadcast_arrays(a, b)
         s, _ = add_limbs(a, b)  # < 2p < 2**255: no carry out of limb 15
-        return self.cond_sub_p(s)
+        return self.raw.cond_sub_p(s)
 
     @jit_method
     def sub(self, a, b):
@@ -300,29 +323,29 @@ class Field:
         full, carry = carry_prop(acc, 2 * N_LIMBS)
         hi = full[N_LIMBS:]
         # carry out of limb 31 is zero when T < p*R (result < 2p < 2**255)
-        return self.cond_sub_p(hi)
+        return self.raw.cond_sub_p(hi)
 
     @jit_method
     def mul(self, a, b):
         """Montgomery product: returns a*b/R mod p (both in Montgomery form
         => result in Montgomery form)."""
-        return self.mont_reduce(mul_wide(a, b))
+        return self.raw.mont_reduce(mul_wide(a, b))
 
     @jit_method
     def square(self, a):
-        return self.mul(a, a)
+        return self.raw.mul(a, a)
 
     @jit_method
     def to_mont(self, a_std):
         """standard-form limbs -> Montgomery form."""
         r2 = self.broadcast_scalar(self.r2_np, a_std.shape[1:])
-        return self.mul(a_std, r2)
+        return self.raw.mul(a_std, r2)
 
     @jit_method
     def from_mont(self, a_mont):
         """Montgomery form -> standard-form limbs (canonical, < p)."""
         one = jnp.zeros_like(a_mont).at[0].set(1)
-        return self.mul(a_mont, one)
+        return self.raw.mul(a_mont, one)
 
     @jit_method(static_argnums=(1,))
     def pow_static(self, a, e: int):
@@ -338,8 +361,8 @@ class Field:
         bits = jnp.asarray(np.array([int(c) for c in bitstr[1:]], np.uint32))
 
         def body(res, bit):
-            res = self.square(res)
-            res = jnp.where((bit == 1), self.mul(res, a), res)
+            res = self.raw.square(res)
+            res = jnp.where((bit == 1), self.raw.mul(res, a), res)
             return res, None
 
         result, _ = jax.lax.scan(body, a, bits)
@@ -348,7 +371,7 @@ class Field:
     @jit_method
     def inv(self, a):
         """Fermat inverse (0 -> 0)."""
-        return self.pow_static(a, self.p - 2)
+        return self.raw.pow_static(a, self.p - 2)
 
     @jit_method(static_argnums=(1, 2))
     def prefix_mul(self, a, reverse: bool = False, block: int = 1024):
@@ -364,7 +387,7 @@ class Field:
             raise ValueError("prefix_mul expects (16, N)")
         n = a.shape[1]
         if reverse:
-            return jnp.flip(self.prefix_mul(jnp.flip(a, 1), block=block), 1)
+            return jnp.flip(self.raw.prefix_mul(jnp.flip(a, 1), block=block), 1)
         B = min(block, n)
         S = -(-n // B)
         pad = B * S - n
@@ -374,7 +397,7 @@ class Field:
         x = aa.reshape(N_LIMBS, B, S).transpose(2, 0, 1)  # (S, 16, B)
 
         def body(carry, xs):
-            nxt = self.mul(carry, xs)
+            nxt = self.raw.mul(carry, xs)
             return nxt, nxt
 
         one_b = self.broadcast_scalar(self.r_np, (B,))
@@ -384,12 +407,12 @@ class Field:
 
         def body2(carry, t):
             # emit exclusive prefix, then fold in this chunk's total
-            return self.mul(carry, t), carry
+            return self.raw.mul(carry, t), carry
 
         _, excl = jax.lax.scan(body2, self.broadcast_scalar(self.r_np, ()),
                                totals.transpose(1, 0))  # (B, 16)
         excl = excl.transpose(1, 0)  # (16, B) exclusive chunk prefixes
-        out = self.mul(chunk_pref, excl[:, None, :])  # (16, S, B)
+        out = self.raw.mul(chunk_pref, excl[:, None, :])  # (16, S, B)
         out = out.transpose(0, 2, 1).reshape(N_LIMBS, B * S)
         return out[:, :n]
 
@@ -405,11 +428,11 @@ class Field:
         one = self.broadcast_scalar(self.r_np, a.shape[1:])
         aa = jnp.where(zmask, one, a)
 
-        pref = self.prefix_mul(aa)
-        suf = self.prefix_mul(aa, reverse=True)
-        total_inv = self.inv(pref[:, -1:])  # (16, 1)
+        pref = self.raw.prefix_mul(aa)
+        suf = self.raw.prefix_mul(aa, reverse=True)
+        total_inv = self.raw.inv(pref[:, -1:])  # (16, 1)
         # inv(a_i) = prefix_{i-1} * suffix_{i+1} * total_inv
         left = jnp.concatenate([one[:, :1], pref[:, :-1]], axis=1)
         right = jnp.concatenate([suf[:, 1:], one[:, :1]], axis=1)
-        out = self.mul(self.mul(left, right), total_inv)
+        out = self.raw.mul(self.raw.mul(left, right), total_inv)
         return jnp.where(zmask, jnp.zeros_like(a), out)

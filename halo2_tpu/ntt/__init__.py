@@ -1,0 +1,1 @@
+from halo2_tpu.ntt.ntt import NTT, bit_reverse_indices

@@ -5,7 +5,10 @@ hardware. Must set env before jax is imported anywhere."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment points JAX_PLATFORMS at the remote TPU
+# tunnel (axon), which is reserved for bench.py — unit tests must run on the
+# local virtual-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
