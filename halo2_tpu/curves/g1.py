@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from halo2_tpu.fields.bn254 import Fq
+from halo2_tpu.utils.jitutil import maybe_jit
 from halo2_tpu.fields.limbs import N_LIMBS, is_zero
 
 # curve formulas always run inside larger traced programs (MSM scan bodies,
@@ -66,6 +67,7 @@ def neg(p):
     return (x, F.neg(y), z)
 
 
+@maybe_jit
 def add(p, q):
     """Complete projective addition (RCB15 Algorithm 7, a=0, b3=9).
 
@@ -109,6 +111,7 @@ def add(p, q):
     return (x3, y3, z3)
 
 
+@maybe_jit
 def add_mixed(p, q_aff):
     """Complete mixed addition (RCB15 Algorithm 8): projective p + affine q.
 
@@ -146,6 +149,7 @@ def add_mixed(p, q_aff):
     return (x3, y3, z3)
 
 
+@maybe_jit
 def double(p):
     """Complete doubling (RCB15 Algorithm 9, a=0, b3=9). 8 Fq muls."""
     x, y, z = p
@@ -185,6 +189,7 @@ def is_identity(p):
     return is_zero(p[0]) & is_zero(p[1])
 
 
+@maybe_jit
 def to_affine(p):
     """Projective -> affine via batch inversion of Z.
 
@@ -200,6 +205,7 @@ def to_affine(p):
     return (jnp.where(zero_mask, 0, ax), jnp.where(zero_mask, 0, ay))
 
 
+@maybe_jit
 def scalar_mul(p_aff, scalars_std):
     """Batched scalar multiplication: k_i * P_i for affine points.
 

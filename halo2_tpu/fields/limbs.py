@@ -79,74 +79,106 @@ def limbs_to_ints(limbs: np.ndarray) -> list:
 
 
 # ---------------------------------------------------------------------------
-# Core limb kernels (jnp, uint32 only)
+# Core limb kernels (jnp, uint32 only).
+#
+# Everything here is formulated as a FIXED, SHALLOW graph of full-width vector
+# ops — no per-limb Python loops, no scatter updates:
+#   * products: one batched outer product + "skew" anti-diagonal reduction
+#   * carries:  two relaxation passes + Kogge–Stone carry-lookahead (log depth)
+# This keeps XLA compile time flat and maps every op onto full VPU lanes.
 # ---------------------------------------------------------------------------
 
+def _shift_up(x, k: int = 1):
+    """Shift limbs toward higher significance along axis 0, zero-filling."""
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-k]], axis=0)
+
+
 def carry_prop(acc, n_out: int):
-    """Propagate carries over the leading limb axis; acc limbs may exceed 16
-    bits (but must stay < 2**32 including carries).  Returns (limbs, carry)."""
-    outs = []
-    c = jnp.zeros_like(acc[0])
-    for k in range(n_out):
-        t = (acc[k] if k < acc.shape[0] else jnp.zeros_like(c)) + c
-        outs.append(t & MASK)
-        c = t >> LIMB_BITS
-    return jnp.stack(outs), c
+    """Exact carry normalization of a redundant limb vector.
+
+    acc: (M, *B) uint32 limbs (any values); value = sum acc_k 2^(16k), which
+    must be < 2^(16*(n_out+1)).  Returns (canonical (n_out,*B) limbs,
+    carry_out) with carry_out = value >> (16*n_out).
+
+    Fixed-depth: two vectorized relaxation passes reduce every carry to a
+    single bit, then Kogge–Stone lookahead resolves the ripple in log2 steps.
+    """
+    m = acc.shape[0]
+    width = n_out + 1
+    if m < width:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((width - m,) + acc.shape[1:], U32)], axis=0)
+    else:
+        acc = acc[:width]  # caller guarantees value bound
+    # pass 1: split and fold multi-bit carries once
+    acc = (acc & MASK) + _shift_up(acc >> LIMB_BITS)
+    # pass 2: after pass 1 limbs < 2^17, so per-limb carry-out is 0/1
+    lo = acc & MASK
+    g = (acc >> LIMB_BITS) != 0               # limb k generates carry out
+    p = lo == MASK                            # limb k propagates carry through
+    # Kogge–Stone prefix of (g, p): G_k = carry OUT of limb k
+    G, P = g, p
+    shift = 1
+    while shift < width:
+        G = G | (P & _shift_up(G, shift))
+        P = P & _shift_up(P, shift)
+        shift *= 2
+    cin = _shift_up(G.astype(U32), 1)         # carry INTO each limb
+    out = (lo + cin) & MASK
+    return out[:n_out], out[n_out] if width > n_out else jnp.zeros_like(out[0])
+
+
+def _skew_diag_sum(P):
+    """P: (16, 16, *B) -> (32, *B) anti-diagonal sums out[k] = sum_i P[i, k-i].
+
+    Pad rows 16 -> 33 wide, flatten, re-slice as 32-wide rows: row i, col k of
+    the new view is flat[32i + k] = P[i, k - i] (or padding zero).  One pad +
+    reshape + reduction — no gathers."""
+    batch = P.shape[2:]
+    Z = jnp.pad(P, ((0, 0), (0, 17)) + ((0, 0),) * len(batch))
+    Zf = Z.reshape((16 * 33,) + batch)[: 16 * 32].reshape((16, 32) + batch)
+    return jnp.sum(Zf, axis=0)
 
 
 def mul_wide(a, b):
     """Full 512-bit product of two 256-bit limb vectors.
 
-    a: (16, *B), b: (16, *B) -> (32, *B) carried 16-bit limbs.
-    """
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((2 * N_LIMBS,) + batch, dtype=U32)
-    for i in range(N_LIMBS):
-        p = a[i][None] * b  # (16, *B), each < 2**32 exactly
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        acc = acc.at[i:i + N_LIMBS].add(lo)
-        acc = acc.at[i + 1:i + N_LIMBS + 1].add(hi)
+    a: (16, *B), b: (16, *B) -> (32, *B) canonical 16-bit limbs."""
+    a, b = jnp.broadcast_arrays(a, b)
+    P = a[:, None] * b[None, :]               # (16, 16, *B), exact in u32
+    sl = _skew_diag_sum(P & MASK)             # each sum <= 16*(2^16-1) < 2^21
+    sh = _skew_diag_sum(P >> LIMB_BITS)
+    acc = sl + _shift_up(sh)
     out, _ = carry_prop(acc, 2 * N_LIMBS)
     return out
 
 
 def mul_lo(a, b):
-    """Low 256 bits of a*b (mod 2**256), carried 16-bit limbs."""
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((N_LIMBS,) + batch, dtype=U32)
-    for i in range(N_LIMBS):
-        p = a[i][None] * b[:N_LIMBS - i]
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        acc = acc.at[i:N_LIMBS].add(lo)
-        if i + 1 < N_LIMBS:
-            acc = acc.at[i + 1:N_LIMBS].add(hi[:N_LIMBS - i - 1])
+    """Low 256 bits of a*b (mod 2**256), canonical 16-bit limbs."""
+    a, b = jnp.broadcast_arrays(a, b)
+    P = a[:, None] * b[None, :]
+    sl = _skew_diag_sum(P & MASK)[:N_LIMBS]
+    sh = _skew_diag_sum(P >> LIMB_BITS)[:N_LIMBS - 1]
+    acc = sl + _shift_up(jnp.concatenate(
+        [sh, jnp.zeros((1,) + sh.shape[1:], U32)], axis=0))
     out, _ = carry_prop(acc, N_LIMBS)
     return out
 
 
 def add_limbs(a, b, n: int = N_LIMBS):
-    """Limbwise add with carry chain. Returns (limbs, carry_out)."""
-    outs = []
-    c = jnp.zeros_like(a[0] + b[0])
-    for k in range(n):
-        t = a[k] + b[k] + c
-        outs.append(t & MASK)
-        c = t >> LIMB_BITS
-    return jnp.stack(outs), c
+    """Limbwise add with carry resolution. Returns (limbs, carry_out)."""
+    out, carry = carry_prop(a + b, n)
+    return out, carry
 
 
 def sub_limbs(a, b, n: int = N_LIMBS):
-    """Limbwise subtract with borrow chain. Returns (limbs, borrow_out)
-    where borrow_out is 1 iff a < b."""
-    outs = []
-    brw = jnp.zeros_like(a[0] + b[0])
-    for k in range(n):
-        t = a[k] + (1 << LIMB_BITS) - b[k] - brw
-        outs.append(t & MASK)
-        brw = 1 - (t >> LIMB_BITS)
-    return jnp.stack(outs), brw
+    """Limbwise subtract. Returns (limbs, borrow_out), borrow_out = 1 iff
+    a < b.  Computed as a + ~b + 1 (two's complement over 16n bits)."""
+    t = a + (MASK - b)
+    one = jnp.zeros((n,) + t.shape[1:], U32).at[0].set(1)
+    out, carry = carry_prop(t + one[: t.shape[0]], n)
+    return out, 1 - carry
 
 
 def is_zero(a):

@@ -1,0 +1,224 @@
+"""Multi-scalar multiplication (Pippenger) on TPU limb vectors.
+
+The reference MSM is `multiexp_serial`/`best_multiexp` on CPU
+(/root/reference/halo2_proofs/src/arithmetic.rs:20-108,465-492) and the
+`ec-gpu-gen` `SingleMultiexpKernel::multiexp_bound` CUDA path with per-window
+bucket accumulation (SURVEY.md §2.1, §2.9).  Data-dependent bucket scatter is
+the classically TPU-hostile part; this module's design:
+
+  * **Lane-private buckets.** Points are streamed in rounds of L lanes; each
+    (window w, lane l) pair owns a private bucket column, so the per-round
+    scatter indices (w, digit, l) are disjoint by construction — XLA scatter
+    with `unique_indices`, no conflicts, no sort.  One `lax.scan` step =
+    gather current buckets (take_along_axis over the bucket axis) → one
+    complete mixed-add of width W*L → scatter back.
+  * All windows are processed simultaneously (the window axis is just more
+    vector width), mirroring how the GPU kernel assigns thread blocks.
+  * Lane merge = log2(L) tree of complete adds; bucket reduce = Hillis–Steele
+    suffix scan (log2(2^c) rounds) + tree sum — everything log-depth, no
+    sequential 2^c walk.
+  * `max_bits` reproduces the reference's bounded-window fast path
+    (`commit_lagrange_with_bound`, prover.rs:237-254): scalars known to be
+    short (u16 blinding rows) only generate ceil(max_bits/c) windows.
+
+Identity caveat: affine input points must not be the group identity (true
+for all SRS commit paths). Zero scalars are fine (digit-0 buckets are
+discarded).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.curves import g1
+from halo2_tpu.fields.bn254 import Fq, Fr
+from halo2_tpu.fields.limbs import N_LIMBS
+
+C_BITS = 8  # window size; 16-bit limbs split evenly into 2 digits
+
+
+def _digits(scalars_std, num_windows: int):
+    """(16, n) standard-form limbs -> (W, n) int32 byte digits (c=8)."""
+    parts = []
+    for w in range(num_windows):
+        limb = scalars_std[w // 2]
+        shift = 8 * (w % 2)
+        parts.append(((limb >> shift) & 0xFF).astype(jnp.int32))
+    return jnp.stack(parts)
+
+
+def _accumulate(px, py, digits, lanes: int):
+    """Bucket accumulation. px/py: (16, n); digits: (W, n) int32.
+
+    Returns projective buckets (3 coords of (16, W, 256, L))."""
+    W, n = digits.shape
+    L = lanes
+    R = n // L
+    nb = 1 << C_BITS
+
+    px_r = px.reshape(N_LIMBS, R, L).transpose(1, 0, 2)  # (R, 16, L)
+    py_r = py.reshape(N_LIMBS, R, L).transpose(1, 0, 2)
+    d_r = digits.reshape(W, R, L).transpose(1, 0, 2)      # (R, W, L)
+
+    bx, by, bz = g1.identity((W, nb, L))
+
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
+
+    def step(carry, xs):
+        bx, by, bz = carry
+        pxs, pys, d = xs  # (16, L), (16, L), (W, L)
+        idx = d[None, :, None, :]  # (1, W, 1, L)
+        cx = jnp.take_along_axis(bx, idx, axis=2)[:, :, 0, :]  # (16, W, L)
+        cy = jnp.take_along_axis(by, idx, axis=2)[:, :, 0, :]
+        cz = jnp.take_along_axis(bz, idx, axis=2)[:, :, 0, :]
+        ax = jnp.broadcast_to(pxs[:, None, :], (N_LIMBS, W, L))
+        ay = jnp.broadcast_to(pys[:, None, :], (N_LIMBS, W, L))
+        nx, ny, nz = g1.add_mixed((cx, cy, cz), (ax, ay))
+        bx = bx.at[:, w_iota, d, l_iota].set(nx, unique_indices=True)
+        by = by.at[:, w_iota, d, l_iota].set(ny, unique_indices=True)
+        bz = bz.at[:, w_iota, d, l_iota].set(nz, unique_indices=True)
+        return (bx, by, bz), None
+
+    (bx, by, bz), _ = jax.lax.scan(step, (bx, by, bz), (px_r, py_r, d_r))
+    return bx, by, bz
+
+
+def _tree_sum_last_axis(pts):
+    """Sum points along the last axis via a masked halving scan.
+
+    One compiled g1.add body serves all log2(L) rounds: round with half h
+    adds slot i+h into slot i for i < h, leaving others untouched (fixed
+    shapes throughout)."""
+    px, py, pz = pts
+    L = px.shape[-1]
+    if L == 1:
+        return px[..., 0], py[..., 0], pz[..., 0]
+    log_l = L.bit_length() - 1
+    lane = jnp.arange(L, dtype=jnp.int32)
+
+    def round_(carry, half):
+        px, py, pz = carry
+        idx = (lane + half) % L
+        qx = jnp.take(px, idx, axis=-1)
+        qy = jnp.take(py, idx, axis=-1)
+        qz = jnp.take(pz, idx, axis=-1)
+        s = g1.add.__wrapped_raw__((px, py, pz), (qx, qy, qz))
+        active = jnp.broadcast_to(lane < half, pz.shape[1:])
+        return g1.select(active, s, (px, py, pz)), None
+
+    halves = jnp.asarray([1 << (log_l - 1 - i) for i in range(log_l)], jnp.int32)
+    (px, py, pz), _ = jax.lax.scan(round_, (px, py, pz), halves)
+    return px[..., 0], py[..., 0], pz[..., 0]
+
+
+def _merge_lanes(buckets):
+    """(16, W, 256, L) x3 -> (16, W, 256) x3."""
+    return _tree_sum_last_axis(buckets)
+
+
+def _reduce_buckets(buckets):
+    """(16, W, 256) x3 -> per-window totals (16, W) x3.
+
+    total_w = sum_{b=1}^{255} b * B[w, b], via suffix sums:
+    S_b = sum_{j >= b} B_j;  total = sum_{b >= 1} S_b.
+    Both phases are scans with a uniform body (compile-time flat)."""
+    bx, by, bz = buckets
+    nb = bx.shape[-1]
+    log_nb = nb.bit_length() - 1
+
+    def suffix_round(carry, shift):
+        bx, by, bz = carry
+        idx = jnp.arange(nb, dtype=jnp.int32) + shift
+        valid = idx < nb
+        idx = jnp.where(valid, idx, 0)
+        sx = jnp.take(bx, idx, axis=2)
+        sy = jnp.take(by, idx, axis=2)
+        sz = jnp.take(bz, idx, axis=2)
+        ident = g1.identity(sz.shape[1:])
+        s = g1.select(jnp.broadcast_to(valid, sz.shape[1:]), (sx, sy, sz), ident)
+        return g1.add((bx, by, bz), s), None
+
+    shifts = jnp.asarray([1 << i for i in range(log_nb)], dtype=jnp.int32)
+    (bx, by, bz), _ = jax.lax.scan(suffix_round, (bx, by, bz), shifts)
+
+    # drop S_0 (bucket 0 is the discard bucket), tree-sum S_1..S_{nb-1};
+    # replace slot 0 with identity then masked-halving tree sum
+    ix, iy, iz = g1.identity(bz.shape[1:-1] + (1,))
+    bx = jnp.concatenate([ix, bx[:, :, 1:]], axis=-1)
+    by = jnp.concatenate([iy, by[:, :, 1:]], axis=-1)
+    bz = jnp.concatenate([iz, bz[:, :, 1:]], axis=-1)
+    return _tree_sum_last_axis((bx, by, bz))
+
+
+def _combine_windows(totals):
+    """Horner over windows via scan: acc = (acc * 2^c) + T_w, w descending.
+    One scan body (c doublings + 1 add) regardless of window count."""
+    tx, ty, tz = totals
+    W = tx.shape[-1]
+    acc = (tx[:, W - 1], ty[:, W - 1], tz[:, W - 1])
+    if W == 1:
+        return acc
+
+    def body(acc, t):
+        acc = jax.lax.fori_loop(
+            0, C_BITS, lambda _, a: g1.double.__wrapped_raw__(a), acc)
+        return g1.add.__wrapped_raw__(acc, t), None
+
+    # windows W-2 down to 0, window axis moved to front for the scan
+    ts = tuple(jnp.moveaxis(t[:, W - 2::-1], 1, 0) for t in (tx, ty, tz))
+    acc, _ = jax.lax.scan(body, acc, ts)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_jit(n: int, num_windows: int, lanes: int):
+    def run(px, py, scalars_mont):
+        scal = Fr.raw.from_mont(scalars_mont)
+        digits = _digits(scal, num_windows)
+        buckets = _accumulate(px, py, digits, lanes)
+        merged = _merge_lanes(buckets)
+        totals = _reduce_buckets(merged)
+        return _combine_windows(totals)
+
+    return jax.jit(run)
+
+
+def _pick_lanes(n: int) -> int:
+    # keep bucket memory (W*256*L point columns) and scan length balanced
+    for l in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if n % l == 0 and n // l >= 1:
+            return l
+    return 1
+
+
+def msm(points, scalars_mont, max_bits: int = 256, lanes: int | None = None):
+    """points: (x, y) each (16, n) Montgomery affine (no identities);
+    scalars_mont: (16, n) Montgomery Fr. Returns projective (X, Y, Z) limbs.
+
+    max_bits bounds the scalar bit-length (bounded-window fast path,
+    mirroring arithmetic.rs:334-440); the default covers full scalars.
+    """
+    px, py = points
+    n = px.shape[1]
+    num_windows = min((max_bits + C_BITS - 1) // C_BITS, 32)
+    if lanes is None:
+        lanes = _pick_lanes(n)
+    if n % lanes:
+        pad = lanes - n % lanes
+        px = jnp.concatenate([px, jnp.broadcast_to(px[:, :1], (N_LIMBS, pad))], 1)
+        py = jnp.concatenate([py, jnp.broadcast_to(py[:, :1], (N_LIMBS, pad))], 1)
+        scalars_mont = jnp.concatenate(
+            [scalars_mont, jnp.zeros((N_LIMBS, pad), jnp.uint32)], 1)
+        n += pad
+    return _msm_jit(n, num_windows, lanes)(px, py, scalars_mont)
+
+
+def msm_host_result(points, scalars_mont, **kw):
+    """msm + to_affine + decode, for tests and host callers."""
+    proj = msm(points, scalars_mont, **kw)
+    return g1.decode_points(jnp.stack(g1.to_affine(tuple(p[:, None] for p in proj))))[0]
