@@ -1,0 +1,1 @@
+from halo2_tpu.dev.mock import MockProver, VerifyFailure

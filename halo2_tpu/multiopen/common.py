@@ -1,0 +1,69 @@
+"""Multiopen shared types: queries, verifier-side MSM accumulators, Decider.
+
+Mirrors /root/reference/halo2_proofs/src/poly/msm.rs (MSM/PairMSM) and
+poly/multiopen.rs (ProverQuery/VerifierQuery/Decider).  Verifier MSMs are a
+few dozen points — host big-int arithmetic, never device work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from halo2_tpu.curves import host
+from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.pairing import bn254 as pairing
+
+P = Fr.p
+
+
+@dataclass
+class ProverQuery:
+    point: int       # evaluation point (rotated x)
+    rotation: int
+    poly: object     # (16, n) coeff-form device limbs
+
+
+@dataclass
+class VerifierQuery:
+    point: int
+    rotation: int
+    commitment: object  # host point | HostMSM
+    eval: int
+
+
+class HostMSM:
+    """scalar/base accumulator (poly/msm.rs:6-70), host ints."""
+
+    def __init__(self):
+        self.pairs: list[tuple[int, object]] = []
+
+    def scale(self, factor: int):
+        self.pairs = [(s * factor % P, b) for s, b in self.pairs]
+
+    def append_term(self, scalar: int, base):
+        self.pairs.append((scalar % P, base))
+
+    def add_msm(self, other: "HostMSM"):
+        self.pairs.extend(other.pairs)
+
+    def eval(self):
+        acc = None
+        for s, b in self.pairs:
+            acc = host.add(acc, host.mul(b, s))
+        return acc
+
+
+@dataclass
+class PairMSM:
+    left: HostMSM
+    right: HostMSM
+
+
+def decider_verify(params_verifier, pair: PairMSM) -> bool:
+    """e(left, s_g2) * e(right, -g2) == 1 (poly/multiopen.rs:33-55)."""
+    left = pair.left.eval()
+    right = pair.right.eval()
+    return pairing.pairing_check([
+        (left, params_verifier.s_g2),
+        (right, pairing.g2_neg(params_verifier.g2)),
+    ])

@@ -1,0 +1,488 @@
+"""Circuit frontend: columns, expressions, gates, ConstraintSystem.
+
+Python re-design of /root/reference/halo2_proofs/src/plonk/circuit.rs
+(2022 LoC) with the same semantics:
+  * `Column` of advice/fixed/instance with deterministic ordering
+  * `Expression` AST (Constant / queries / Negated / Sum / Product / Scaled)
+    with `degree()` and closure-style `evaluate` (circuit.rs:453-921)
+  * query deduplication per (column, rotation) (circuit.rs query_*_index)
+  * `ConstraintSystem` with gates, equality-enabled columns (the permutation
+    argument), degree / blinding_factors / minimum_rows (circuit.rs:1862-1956)
+
+Selector design difference (documented, intentional): the reference keeps
+virtual `Selector`s and packs them into fixed columns via
+`compress_selectors` (circuit.rs:1603-1734). Here every selector is DIRECTLY
+backed by its own fixed column at creation — `query_selector` returns a fixed
+query, and `enable_selector` writes 1 into that column.  Same proving
+semantics, no compression pass; a packing optimization can be added behind
+the same API later.
+
+Field values are canonical Python ints mod Fr.p at this layer; the device
+limb encoding happens in keygen/prover.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+from halo2_tpu.fields.bn254 import Fr
+
+P = Fr.p
+
+
+class Rotation(int):
+    """Query rotation (offset in rows, relative to the current row)."""
+
+    @staticmethod
+    def cur() -> "Rotation":
+        return Rotation(0)
+
+    @staticmethod
+    def next() -> "Rotation":
+        return Rotation(1)
+
+    @staticmethod
+    def prev() -> "Rotation":
+        return Rotation(-1)
+
+
+_CTYPE_ORDER = {"instance": 0, "advice": 1, "fixed": 2}
+
+
+@dataclass(frozen=True, order=False)
+class Column:
+    index: int
+    ctype: str  # "advice" | "fixed" | "instance"
+
+    def __lt__(self, other):
+        return (_CTYPE_ORDER[self.ctype], self.index) < (
+            _CTYPE_ORDER[other.ctype], other.index)
+
+    def __repr__(self):
+        return f"{self.ctype[0].upper()}{self.index}"
+
+
+@dataclass(frozen=True)
+class Selector:
+    """A virtual selector directly backed by a fixed column."""
+    index: int
+    column: Column  # backing fixed column
+    is_simple: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Expression AST
+# ---------------------------------------------------------------------------
+
+class Expression:
+    def degree(self) -> int:
+        raise NotImplementedError
+
+    # operators -----------------------------------------------------------
+    def __add__(self, other):
+        return Sum(self, _coerce(other))
+
+    def __radd__(self, other):
+        return Sum(_coerce(other), self)
+
+    def __sub__(self, other):
+        return Sum(self, Negated(_coerce(other)))
+
+    def __rsub__(self, other):
+        return Sum(_coerce(other), Negated(self))
+
+    def __neg__(self):
+        return Negated(self)
+
+    def __mul__(self, other):
+        if isinstance(other, int):
+            return Scaled(self, other % P)
+        return Product(self, _coerce(other))
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    def evaluate(self, constant, fixed_q, advice_q, instance_q,
+                 negated, sum_, product, scaled):
+        """Closure-style fold, mirroring Expression::evaluate
+        (circuit.rs:606-700)."""
+        raise NotImplementedError
+
+    def identifier(self) -> str:
+        raise NotImplementedError
+
+
+def _coerce(v) -> Expression:
+    if isinstance(v, Expression):
+        return v
+    if isinstance(v, int):
+        return Constant(v % P)
+    raise TypeError(f"cannot use {type(v)} in an Expression")
+
+
+@dataclass(frozen=True)
+class Constant(Expression):
+    value: int
+
+    def degree(self):
+        return 0
+
+    def evaluate(self, constant, *rest):
+        return constant(self.value)
+
+    def identifier(self):
+        return f"c{self.value}"
+
+
+@dataclass(frozen=True)
+class FixedQuery(Expression):
+    query_index: int
+    column_index: int
+    rotation: int
+
+    def degree(self):
+        return 1
+
+    def evaluate(self, constant, fixed_q, *rest):
+        return fixed_q(self)
+
+    def identifier(self):
+        return f"fixed[{self.column_index}][{self.rotation}]"
+
+
+@dataclass(frozen=True)
+class AdviceQuery(Expression):
+    query_index: int
+    column_index: int
+    rotation: int
+
+    def degree(self):
+        return 1
+
+    def evaluate(self, constant, fixed_q, advice_q, *rest):
+        return advice_q(self)
+
+    def identifier(self):
+        return f"advice[{self.column_index}][{self.rotation}]"
+
+
+@dataclass(frozen=True)
+class InstanceQuery(Expression):
+    query_index: int
+    column_index: int
+    rotation: int
+
+    def degree(self):
+        return 1
+
+    def evaluate(self, constant, fixed_q, advice_q, instance_q, *rest):
+        return instance_q(self)
+
+    def identifier(self):
+        return f"instance[{self.column_index}][{self.rotation}]"
+
+
+@dataclass(frozen=True)
+class Negated(Expression):
+    expr: Expression
+
+    def degree(self):
+        return self.expr.degree()
+
+    def evaluate(self, constant, fixed_q, advice_q, instance_q,
+                 negated, sum_, product, scaled):
+        return negated(self.expr.evaluate(
+            constant, fixed_q, advice_q, instance_q, negated, sum_, product,
+            scaled))
+
+    def identifier(self):
+        return f"(-{self.expr.identifier()})"
+
+
+@dataclass(frozen=True)
+class Sum(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return max(self.a.degree(), self.b.degree())
+
+    def evaluate(self, *h):
+        return h[5](self.a.evaluate(*h), self.b.evaluate(*h))
+
+    def identifier(self):
+        return f"({self.a.identifier()}+{self.b.identifier()})"
+
+
+@dataclass(frozen=True)
+class Product(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return self.a.degree() + self.b.degree()
+
+    def evaluate(self, *h):
+        return h[6](self.a.evaluate(*h), self.b.evaluate(*h))
+
+    def identifier(self):
+        return f"({self.a.identifier()}*{self.b.identifier()})"
+
+
+@dataclass(frozen=True)
+class Scaled(Expression):
+    expr: Expression
+    scalar: int
+
+    def degree(self):
+        return self.expr.degree()
+
+    def evaluate(self, *h):
+        return h[7](self.expr.evaluate(*h), self.scalar)
+
+    def identifier(self):
+        return f"({self.expr.identifier()}*s{self.scalar})"
+
+
+def eval_expression_host(expr: Expression, fixed, advice, instance) -> int:
+    """Evaluate with host int lookups fixed/advice/instance: fn(query)->int."""
+    return expr.evaluate(
+        lambda c: c,
+        fixed, advice, instance,
+        lambda a: (-a) % P,
+        lambda a, b: (a + b) % P,
+        lambda a, b: a * b % P,
+        lambda a, s: a * s % P,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gates & permutation argument descriptor
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Gate:
+    name: str
+    polys: list  # list[Expression]
+    constraint_names: list
+
+
+@dataclass
+class PermutationArgument:
+    """Equality-enabled columns (plonk/permutation.rs:29-62)."""
+    columns: list = field(default_factory=list)
+
+    def required_degree(self) -> int:
+        return 3
+
+    def add_column(self, column: Column):
+        if column not in self.columns:
+            self.columns.append(column)
+
+
+# ---------------------------------------------------------------------------
+# ConstraintSystem
+# ---------------------------------------------------------------------------
+
+class ConstraintSystem:
+    def __init__(self):
+        self.num_fixed_columns = 0
+        self.num_advice_columns = 0
+        self.num_instance_columns = 0
+        self.num_selectors = 0
+        self.selectors: list[Selector] = []
+        self.gates: list[Gate] = []
+        self.advice_queries: list[tuple[Column, int]] = []
+        self.num_advice_queries: list[int] = []
+        self.fixed_queries: list[tuple[Column, int]] = []
+        self.instance_queries: list[tuple[Column, int]] = []
+        self.permutation = PermutationArgument()
+        self.lookups: list = []    # logup arguments (M2)
+        self.shuffles: list = []   # shuffle groups (M3)
+        self.constants: list[Column] = []
+        self.minimum_degree: int | None = None
+
+    # -- column allocation -------------------------------------------------
+    def advice_column(self) -> Column:
+        c = Column(self.num_advice_columns, "advice")
+        self.num_advice_columns += 1
+        self.num_advice_queries.append(0)
+        return c
+
+    def fixed_column(self) -> Column:
+        c = Column(self.num_fixed_columns, "fixed")
+        self.num_fixed_columns += 1
+        return c
+
+    def instance_column(self) -> Column:
+        c = Column(self.num_instance_columns, "instance")
+        self.num_instance_columns += 1
+        return c
+
+    def selector(self) -> Selector:
+        s = Selector(self.num_selectors, self.fixed_column(), is_simple=True)
+        self.num_selectors += 1
+        self.selectors.append(s)
+        return s
+
+    def complex_selector(self) -> Selector:
+        s = Selector(self.num_selectors, self.fixed_column(), is_simple=False)
+        self.num_selectors += 1
+        self.selectors.append(s)
+        return s
+
+    # -- equality / constants ---------------------------------------------
+    def enable_equality(self, column: Column):
+        self.query_any_index(column, 0)
+        self.permutation.add_column(column)
+
+    def enable_constant(self, column: Column):
+        """column must be a fixed column; it becomes a constants sink."""
+        assert column.ctype == "fixed"
+        if column not in self.constants:
+            self.constants.append(column)
+            self.enable_equality(column)
+
+    # -- queries -----------------------------------------------------------
+    def query_fixed_index(self, column: Column, at: int) -> int:
+        for i, (c, rot) in enumerate(self.fixed_queries):
+            if c == column and rot == at:
+                return i
+        self.fixed_queries.append((column, at))
+        return len(self.fixed_queries) - 1
+
+    def query_advice_index(self, column: Column, at: int) -> int:
+        for i, (c, rot) in enumerate(self.advice_queries):
+            if c == column and rot == at:
+                return i
+        self.advice_queries.append((column, at))
+        self.num_advice_queries[column.index] += 1
+        return len(self.advice_queries) - 1
+
+    def query_instance_index(self, column: Column, at: int) -> int:
+        for i, (c, rot) in enumerate(self.instance_queries):
+            if c == column and rot == at:
+                return i
+        self.instance_queries.append((column, at))
+        return len(self.instance_queries) - 1
+
+    def query_any_index(self, column: Column, at: int) -> int:
+        if column.ctype == "advice":
+            return self.query_advice_index(column, at)
+        if column.ctype == "fixed":
+            return self.query_fixed_index(column, at)
+        return self.query_instance_index(column, at)
+
+    def get_any_query_index(self, column: Column, at: int = 0) -> int:
+        queries = {"advice": self.advice_queries, "fixed": self.fixed_queries,
+                   "instance": self.instance_queries}[column.ctype]
+        for i, (c, rot) in enumerate(queries):
+            if c == column and rot == at:
+                return i
+        raise KeyError(f"no query for {column} at rotation {at}")
+
+    # -- gates --------------------------------------------------------------
+    def create_gate(self, name: str, fn):
+        """fn(meta: VirtualCells) -> list of (optionally (name, expr))
+        constraint expressions."""
+        cells = VirtualCells(self)
+        constraints = fn(cells)
+        polys, names = [], []
+        for item in constraints:
+            if isinstance(item, tuple):
+                cname, expr = item
+            else:
+                cname, expr = "", item
+            polys.append(_coerce(expr))
+            names.append(cname)
+        if not polys:
+            raise ValueError(f"gate {name} has no constraints")
+        self.gates.append(Gate(name, polys, names))
+
+    # -- global properties ---------------------------------------------------
+    def degree(self) -> int:
+        """Max constraint degree (circuit.rs:1862-1915)."""
+        degree = self.permutation.required_degree()
+        # permutation product term degree: len-of-chunk related; handled by
+        # chunking at degree-2, so base requirement is 3
+        for lookup in self.lookups:
+            degree = max(degree, lookup.required_degree())
+        for shuffle in self.shuffles:
+            degree = max(degree, shuffle.required_degree())
+        for gate in self.gates:
+            for poly in gate.polys:
+                degree = max(degree, poly.degree())
+        if self.minimum_degree is not None:
+            degree = max(degree, self.minimum_degree)
+        return degree
+
+    def blinding_factors(self) -> int:
+        """(circuit.rs:1917-1944)"""
+        factors = max(self.num_advice_queries) if self.num_advice_queries else 1
+        factors = max(3, factors)
+        factors += 1  # multiopen
+        return factors + 1  # off-by-one defense
+
+    def minimum_rows(self) -> int:
+        return self.blinding_factors() + 3
+
+    def usable_rows(self, n: int) -> int:
+        return n - (self.blinding_factors() + 1)
+
+    # -- canonical repr for the vk hash -------------------------------------
+    def pinned(self) -> str:
+        parts = [
+            f"fixed={self.num_fixed_columns}",
+            f"advice={self.num_advice_columns}",
+            f"instance={self.num_instance_columns}",
+            "gates=[" + ",".join(
+                p.identifier() for g in self.gates for p in g.polys) + "]",
+            "advice_queries=" + repr([(c.index, r) for c, r in self.advice_queries]),
+            "fixed_queries=" + repr([(c.index, r) for c, r in self.fixed_queries]),
+            "instance_queries=" + repr([(c.index, r) for c, r in self.instance_queries]),
+            "permutation=" + repr([(c.ctype, c.index) for c in self.permutation.columns]),
+            "lookups=[" + ",".join(lk.identifier() for lk in self.lookups) + "]",
+            "shuffles=[" + ",".join(sh.identifier() for sh in self.shuffles) + "]",
+            "constants=" + repr([c.index for c in self.constants]),
+        ]
+        return ";".join(parts)
+
+
+class VirtualCells:
+    """Query interface passed to gate closures (circuit.rs:1962-2022)."""
+
+    def __init__(self, cs: ConstraintSystem):
+        self._cs = cs
+
+    def query_advice(self, column: Column, at: int = 0) -> Expression:
+        idx = self._cs.query_advice_index(column, at)
+        return AdviceQuery(idx, column.index, at)
+
+    def query_fixed(self, column: Column, at: int = 0) -> Expression:
+        idx = self._cs.query_fixed_index(column, at)
+        return FixedQuery(idx, column.index, at)
+
+    def query_instance(self, column: Column, at: int = 0) -> Expression:
+        idx = self._cs.query_instance_index(column, at)
+        return InstanceQuery(idx, column.index, at)
+
+    def query_selector(self, selector: Selector) -> Expression:
+        return self.query_fixed(selector.column, 0)
+
+    def query_any(self, column: Column, at: int = 0) -> Expression:
+        return {"advice": self.query_advice, "fixed": self.query_fixed,
+                "instance": self.query_instance}[column.ctype](column, at)
+
+
+class Circuit:
+    """User circuit interface (circuit.rs:431-450)."""
+
+    def configure(self, meta: ConstraintSystem):
+        raise NotImplementedError
+
+    def synthesize(self, config, layouter):
+        raise NotImplementedError
+
+    def without_witnesses(self) -> "Circuit":
+        raise NotImplementedError

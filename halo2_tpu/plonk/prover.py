@@ -1,0 +1,245 @@
+"""The prover pipeline — create_proof.
+
+TPU re-design of /root/reference/halo2_proofs/src/plonk/prover.rs:206-850
+(create_proof_ext), same transcript order, device-first data flow:
+
+  1. vk hash + instance commit/absorb (prover.rs:85-162)
+  2. witness synthesis into host column buffers -> device lagrange arrays;
+     u16-random blinding rows; bounded-bit advice commitments
+     (prover.rs:256-315)
+  3. theta (lookups compress — M2)
+  4. (shuffles — M3) -> beta, gamma
+  5. permutation z commits (grand products on device)
+  6. vanishing random poly commit -> y
+  7. advice iNTT to coeff
+  8. evaluate_h (the Evaluator program)
+  9. vanishing.construct: divide by t, extended_to_coeff, split, commit -> x
+ 10. all query evals written in order (instance, advice, fixed, vanishing
+     random, permutation common, permutation sets)
+ 11. GWC multiopen
+
+Randomness is injectable (`seed`) so proofs are reproducible in tests —
+the reference uses OsRng (prover.rs:286); byte-level determinism here is a
+feature for differential testing.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.circuit import Assignment, Cell, SimpleFloorPlanner
+from halo2_tpu.curves import g1
+from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.fields.limbs import N_LIMBS
+from halo2_tpu.msm import msm
+from halo2_tpu.multiopen import ProverQuery
+from halo2_tpu.multiopen import gwc
+from halo2_tpu.plonk import permutation as perm_mod
+from halo2_tpu.plonk.vanishing import VanishingProver
+from halo2_tpu.poly.arith import eval_poly
+from halo2_tpu.transcript import Blake2bWrite
+
+P = Fr.p
+
+
+class WitnessCollection(Assignment):
+    """Witness synthesis backend (prover.rs:1525-1781): advice values into
+    host column buffers; copies/fixed are keygen artifacts and ignored."""
+
+    def __init__(self, cs, n, usable_rows, instances):
+        self.cs = cs
+        self.n = n
+        self.usable_rows = usable_rows
+        self.instances = instances
+        self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
+
+    def enable_selector(self, selector, row):
+        pass  # fixed at keygen
+
+    def assign_advice(self, column, row, value):
+        if row >= self.usable_rows:
+            raise ValueError("not enough rows available")
+        if value is None:
+            raise ValueError("advice value not assigned (synthesis)")
+        self.advice[column.index][row] = value % P
+
+    def assign_fixed(self, column, row, value):
+        pass
+
+    def copy(self, left: Cell, right: Cell):
+        pass
+
+    def query_instance(self, column, row):
+        return self.instances[column.index][row]
+
+    def is_in_prove_mode(self):
+        return True
+
+
+def _commit_affine(params, values, max_bits=256, base="lagrange"):
+    bases = (params.g_lagrange[0], params.g_lagrange[1]) if base == "lagrange" \
+        else (params.g[0], params.g[1])
+    proj = msm(bases, values, max_bits=max_bits)
+    aff = g1.to_affine(tuple(c[:, None] for c in proj))
+    return g1.decode_points(jnp.stack(aff))[0]
+
+
+def create_proof(params, pk, circuit, instances, seed: int | None = None,
+                 floor_planner=None) -> bytes:
+    """Prove one circuit instance. instances: list of instance columns
+    (each a list of ints, length <= usable rows). Returns proof bytes."""
+    vk = pk.vk
+    cs = vk.cs
+    domain = vk.domain
+    n = params.n
+    bf = cs.blinding_factors()
+    usable_rows = cs.usable_rows(n)
+    rng = random.Random(seed)
+    transcript = Blake2bWrite()
+
+    # 1. vk hash + instances
+    vk.hash_into(transcript)
+    instance_cols = []
+    for col in instances:
+        if len(col) > usable_rows:
+            raise ValueError("instance too large")
+        instance_cols.append(list(col) + [0] * (n - len(col)))
+    if len(instance_cols) != cs.num_instance_columns:
+        raise ValueError("wrong number of instance columns")
+    instance_lagrange = (
+        jnp.stack([jnp.asarray(Fr.encode(c)) for c in instance_cols], axis=1)
+        if instance_cols else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    for i in range(cs.num_instance_columns):
+        com = _commit_affine(params, instance_lagrange[:, i, :])
+        transcript.common_point(com)
+
+    # 2. witness synthesis + advice commitments
+    witness = WitnessCollection(cs, n, usable_rows, instance_cols)
+    planner = floor_planner or SimpleFloorPlanner
+    planner.synthesize(witness, circuit, witness_config(circuit, cs), cs.constants)
+    # u16-random blinding rows (prover.rs:283-290)
+    for col in witness.advice:
+        for r in range(usable_rows, n):
+            col[r] = rng.randrange(1 << 16)
+    advice_lagrange = (
+        jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice], axis=1)
+        if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    for i in range(cs.num_advice_columns):
+        max_bits = max((v.bit_length() for v in witness.advice[i]), default=1)
+        # quantize the bound so the MSM program cache hits (each distinct
+        # window count is a separate compiled program)
+        for tier in (16, 64, 128, 192, 256):
+            if max_bits <= tier:
+                max_bits = tier
+                break
+        com = _commit_affine(params, advice_lagrange[:, i, :],
+                             max_bits=max_bits)
+        transcript.write_point(com)
+
+    # 3. theta (lookups M2)
+    theta = transcript.squeeze_challenge()
+
+    # 4. beta, gamma
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    # 5. permutation z commits
+    def value_col(column):
+        if column.ctype == "advice":
+            return advice_lagrange[:, column.index, :]
+        if column.ctype == "fixed":
+            return pk.fixed_lagrange[:, column.index, :]
+        return instance_lagrange[:, column.index, :]
+
+    zs, z_commitments = perm_mod.commit_z_polys(
+        params, domain, cs, pk.permutation_pk, value_col, beta, gamma, rng)
+    for com in z_commitments:
+        transcript.write_point(com)
+
+    # 6. vanishing random poly -> y
+    vanishing = VanishingProver(params, domain, rng)
+    transcript.write_point(vanishing.random_commitment)
+    y = transcript.squeeze_challenge()
+
+    # 7. coeff forms
+    advice_coeff = domain.ntt.inverse(advice_lagrange) \
+        if cs.num_advice_columns else advice_lagrange
+    instance_coeff = domain.ntt.inverse(instance_lagrange) \
+        if cs.num_instance_columns else instance_lagrange
+    zs_coeff_list = [domain.ntt.inverse(z) for z in zs]
+    zs_coeff = (jnp.stack(zs_coeff_list, axis=1) if zs_coeff_list
+                else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+
+    # 8. h evaluation
+    h_ext = pk.ev.evaluate_h(advice_coeff, instance_coeff, zs_coeff,
+                             beta, gamma, y)
+
+    # 9. vanishing construct -> x
+    h_pieces, h_commitments = vanishing.construct(h_ext)
+    for com in h_commitments:
+        transcript.write_point(com)
+    x = transcript.squeeze_challenge()
+    xn = pow(x, n, P)
+
+    # 10. evals
+    for column, rot in cs.instance_queries:
+        transcript.write_scalar(eval_poly(instance_coeff[:, column.index, :],
+                                          domain.rotate_omega(x, rot)))
+    for column, rot in cs.advice_queries:
+        transcript.write_scalar(eval_poly(advice_coeff[:, column.index, :],
+                                          domain.rotate_omega(x, rot)))
+    for column, rot in cs.fixed_queries:
+        transcript.write_scalar(eval_poly(pk.fixed_coeff[:, column.index, :],
+                                          domain.rotate_omega(x, rot)))
+    h_poly, random_eval = vanishing.evaluate(h_pieces, x, xn)
+    transcript.write_scalar(random_eval)
+    # permutation common (sigma) evals
+    m = len(cs.permutation.columns)
+    for i in range(m):
+        transcript.write_scalar(
+            eval_poly(pk.permutation_pk.sigmas_coeff[:, i, :], x))
+    # permutation set evals
+    for s in perm_mod.evaluate_sets(domain, cs, zs_coeff_list, x):
+        transcript.write_scalar(s)
+
+    # 11. multiopen queries (prover.rs:792-846 order)
+    x_next = domain.rotate_omega(x, 1)
+    x_last = domain.rotate_omega(x, -(bf + 1))
+    queries = []
+    for column, rot in cs.instance_queries:
+        queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
+                                   instance_coeff[:, column.index, :]))
+    for column, rot in cs.advice_queries:
+        queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
+                                   advice_coeff[:, column.index, :]))
+    # permutation sets: z at x and wx; then z at w^last x for all but last
+    for zc in zs_coeff_list:
+        queries.append(ProverQuery(x, 0, zc))
+        queries.append(ProverQuery(x_next, 1, zc))
+    # x_last openings for all but the last set, in REVERSE set order
+    # (permutation/prover.rs open(): .rev().skip(1))
+    for zc in reversed(zs_coeff_list[:-1]):
+        queries.append(ProverQuery(x_last, -(bf + 1), zc))
+    for column, rot in cs.fixed_queries:
+        queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
+                                   pk.fixed_coeff[:, column.index, :]))
+    for i in range(m):
+        queries.append(ProverQuery(x, 0, pk.permutation_pk.sigmas_coeff[:, i, :]))
+    queries.append(ProverQuery(x, 0, h_poly))
+    queries.append(ProverQuery(x, 0, vanishing.random_poly))
+
+    gwc.create_proof(params, transcript, queries)
+    return transcript.finalize()
+
+
+def witness_config(circuit, cs):
+    """Re-run configure on the already-built CS? No — configure must run
+    exactly once (it allocates columns).  The prover needs the same config
+    object the keygen CS produced; we rebuild it deterministically on a
+    throwaway CS and rely on allocation determinism."""
+    from halo2_tpu.plonk.circuit import ConstraintSystem
+    probe = ConstraintSystem()
+    return circuit.configure(probe)

@@ -1,0 +1,66 @@
+"""Vanishing argument (prover side).
+
+Mirrors /root/reference/halo2_proofs/src/plonk/vanishing/prover.rs:
+  * random blinding polynomial committed before y (product-of-randoms
+    construction approximated by direct uniform sampling — the reference's
+    product construction is an entropy-hygiene detail, prover.rs:41-68)
+  * construct: divide h by t(X) on the coset, extended iFFT, split into
+    n-sized pieces, commit each (prover.rs:71-110)
+  * evaluate: fold pieces by x^n, evaluate random poly (prover.rs:112-134)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from halo2_tpu.curves import g1
+from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.msm import msm
+from halo2_tpu.poly.arith import eval_poly
+from halo2_tpu.poly.domain import Polynomial
+from halo2_tpu.utils.jitutil import maybe_jit
+
+P = Fr.p
+F = Fr.raw
+
+
+def _commit_coeff_affine(params, coeffs):
+    proj = msm((params.g[0], params.g[1]), coeffs)
+    aff = g1.to_affine(tuple(c[:, None] for c in proj))
+    return g1.decode_points(jnp.stack(aff))[0]
+
+
+class VanishingProver:
+    def __init__(self, params, domain, rng):
+        self.params = params
+        self.domain = domain
+        coeffs = [rng.randrange(P) for _ in range(domain.n)]
+        self.random_poly = jnp.asarray(Fr.encode(coeffs))
+        self.random_commitment = _commit_coeff_affine(params, self.random_poly)
+
+    def construct(self, h_ext):
+        """h numerator on extended coset -> (pieces (16, qd, n), commitments)."""
+        domain = self.domain
+        h = domain.divide_by_vanishing_poly(Polynomial(h_ext, "extended"))
+        h_coeff = domain.extended_to_coeff(h)  # (16, n*qd)
+        qd = domain.quotient_poly_degree
+        pieces = h_coeff.reshape(16, qd, domain.n)
+        commitments = [_commit_coeff_affine(self.params, pieces[:, i, :])
+                       for i in range(qd)]
+        return pieces, commitments
+
+    def evaluate(self, pieces, x: int, xn: int):
+        """h_poly = fold pieces by x^n; returns (h_poly coeffs, random_eval)."""
+        xn_l = jnp.asarray(Fr.encode_scalar(xn))
+
+        @maybe_jit
+        def fold(pieces, xn_l):
+            qd = pieces.shape[1]
+            acc = pieces[:, qd - 1, :]
+            for i in range(qd - 2, -1, -1):
+                acc = F.add(F.mul(acc, xn_l[:, None]), pieces[:, i, :])
+            return acc
+
+        h_poly = fold(pieces, xn_l)
+        random_eval = eval_poly(self.random_poly, x)
+        return h_poly, random_eval

@@ -1,0 +1,142 @@
+"""Device polynomial arithmetic: evaluation, Kate division, prefix sums.
+
+TPU-first replacements for /root/reference/halo2_proofs/src/arithmetic.rs
+host loops:
+  * eval_polynomial (arithmetic.rs:707-735): powers-table + wide dot,
+    log-depth — not Horner (sequential chains are hostile to XLA).
+  * kate_division (arithmetic.rs:754-773): closed form
+    q_i = b^{-(i+1)} * (p(b)-ish suffix) via blocked prefix sums — the
+    sequential reverse-Horner recurrence becomes two table muls + a scan.
+  * field prefix/total sums via blocked uint32 cumsum with Montgomery
+    renormalization (limbs are 16-bit, so 4096-wide blocks never overflow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.fields.limbs import MASK, N_LIMBS, U32, carry_prop, ints_to_limbs_np
+from halo2_tpu.ntt.ntt import powers_table_np
+from halo2_tpu.utils.jitutil import maybe_jit
+
+F = Fr.raw
+_BLOCK = 4096  # 4096 * (2^16-1) < 2^32: safe u32 accumulation width
+
+
+def _normalize_redundant(acc):
+    """(L<=17, *B) possibly-redundant limbs (each < 2^32) -> canonical
+    Montgomery-form (16, *B) mod p.  Works for values < p*R."""
+    norm, _ = carry_prop(acc, 2 * N_LIMBS)
+    v = F.mont_reduce(norm)           # V * R^{-1} mod p
+    r2 = F.broadcast_scalar(Fr.r2_np, v.shape[1:])
+    return F.mul(v, r2)               # back to V mod p
+
+
+def field_sum(a):
+    """Sum along the last axis: (16, *mid, n) -> (16, *mid)."""
+    while a.shape[-1] > 1:
+        n = a.shape[-1]
+        c = min(n, _BLOCK)
+        pad = (-n) % c
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pad,), U32)], axis=-1)
+        blocks = a.reshape(a.shape[:-1] + ((n + pad) // c, c))
+        partial = jnp.sum(blocks, axis=-1)        # (16, *mid, nb) < 2^28
+        a = _normalize_redundant(partial)
+    return a[..., 0]
+
+
+def prefix_sum(a):
+    """Inclusive field prefix sums along the last axis of (16, n)."""
+    n = a.shape[-1]
+    c = min(n, _BLOCK)
+    pad = (-n) % c
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (pad,), U32)], -1)
+    nb = (n + pad) // c
+    blocks = a.reshape(N_LIMBS, nb, c)
+    intra = jnp.cumsum(blocks, axis=-1)           # < 2^28 per limb
+    totals = _normalize_redundant(intra[:, :, -1])  # (16, nb)
+    if nb > 1:
+        tot_prefix = prefix_sum(totals)           # canonical (16, nb)
+        excl = jnp.concatenate(
+            [jnp.zeros((N_LIMBS, 1), U32), tot_prefix[:, :-1]], axis=1)
+    else:
+        excl = jnp.zeros((N_LIMBS, 1), U32)
+    out = intra + excl[:, :, None]                # < 2^28 + 2^16
+    out = _normalize_redundant(out.reshape(N_LIMBS, nb * c))
+    return out[:, :n]
+
+
+class PointPowers:
+    """Powers table 1, z, z^2, ... z^{n-1} for a host scalar z (Montgomery,
+    built host-side exactly; cached per (z, n))."""
+
+    _cache: dict = {}
+
+    @classmethod
+    def get(cls, z: int, n: int):
+        key = (z % Fr.p, n)
+        tab = cls._cache.get(key)
+        if tab is None:
+            tab = jnp.asarray(powers_table_np(z % Fr.p, n, Fr.p, Fr.to_mont_int))
+            cls._cache[key] = tab
+        return tab
+
+
+@maybe_jit
+def _dot(coeffs, powers):
+    return field_sum(F.mul(coeffs, powers))
+
+
+def eval_poly(coeffs, z: int) -> int:
+    """Evaluate (16, n) Montgomery coefficient vector at host scalar z;
+    returns a canonical host int."""
+    n = coeffs.shape[-1]
+    powers = PointPowers.get(z, n)
+    out = _dot(coeffs, powers)
+    return Fr.decode_scalar(out)
+
+
+def eval_poly_batch(coeff_list, z: int) -> list:
+    """Evaluate several same-length polys at z in one device call."""
+    if not coeff_list:
+        return []
+    n = coeff_list[0].shape[-1]
+    stack = jnp.stack(coeff_list, axis=1)          # (16, C, n)
+    powers = PointPowers.get(z, n)
+    out = _dot(stack, powers[:, None, :])          # (16, C)
+    return Fr.decode(out)
+
+
+@maybe_jit
+def _kate_core(p, powb, powb_inv_shift):
+    num = F.mul(p, powb)                      # p_j b^j
+    pref = prefix_sum(num)                    # inclusive prefix
+    total = pref[:, -1:]
+    suffix = F.sub(total, pref)               # s_i = sum_{j>i} p_j b^j
+    return F.mul(suffix, powb_inv_shift)      # q_i = s_i * b^{-(i+1)}
+
+
+def kate_division(p, b: int):
+    """(p(X) - p(b)) / (X - b) for (16, n) Montgomery coeffs, host scalar b.
+
+    Synthetic-division quotient q_i = sum_{j>i} p_j b^{j-i-1}, computed as
+    b^{-(i+1)} * suffix-sum — fully parallel (arithmetic.rs:754-773 is the
+    sequential original)."""
+    n = p.shape[-1]
+    b = b % Fr.p
+    assert b != 0, "kate_division at 0 unsupported (challenge is nonzero whp)"
+    binv = pow(b, Fr.p - 2, Fr.p)
+    powb = PointPowers.get(b, n)
+    # b^{-(i+1)} table = binv * binv^i
+    powb_inv = PointPowers.get(binv, n)
+    shift = jnp.asarray(ints_to_limbs_np([Fr.to_mont_int(binv)]))
+    powb_inv_shift = Fr.mul(powb_inv, shift)
+    return _kate_core(p, powb, powb_inv_shift)

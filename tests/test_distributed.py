@@ -1,0 +1,45 @@
+"""Distributed four-step NTT on a virtual 8-device CPU mesh vs single-chip."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.ntt import NTT
+from halo2_tpu.ntt.distributed import DistNTT
+
+rng = random.Random(11)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("x",))
+
+
+@pytest.mark.parametrize("log_n", [8, 10])
+def test_dist_ntt_matches_single(mesh, log_n):
+    n = 1 << log_n
+    xs = [rng.randrange(Fr.p) for _ in range(n)]
+    a = jnp.asarray(Fr.encode(xs))
+    single = Fr.decode(NTT(log_n).forward(a))
+    dist = DistNTT(log_n, mesh)
+    got = Fr.decode(np.asarray(dist.forward(a)))
+    assert got == single
+
+
+def test_dist_ntt_sharded_input(mesh):
+    log_n = 9
+    n = 1 << log_n
+    xs = [rng.randrange(Fr.p) for _ in range(n)]
+    a = jnp.asarray(Fr.encode(xs))
+    dist = DistNTT(log_n, mesh)
+    # pre-shard input on the column axis of the (n1, n2) view
+    a3 = a.reshape(16, dist.n1, dist.n2)
+    a_sharded = jax.device_put(a3, NamedSharding(mesh, Pspec(None, None, "x")))
+    got = Fr.decode(np.asarray(dist.forward(a_sharded.reshape(16, n))))
+    assert got == Fr.decode(NTT(log_n).forward(a))
