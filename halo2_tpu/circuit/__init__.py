@@ -119,6 +119,7 @@ class _RegionLayouter:
         self.backend = layouter.backend
         self.start = start
         self.rows_used = 0
+        self.table_track = None  # {column: (first_value, rows_used)}
 
     def _abs(self, offset: int) -> int:
         self.rows_used = max(self.rows_used, offset + 1)
@@ -134,6 +135,9 @@ class _RegionLayouter:
         row = self._abs(offset)
         self.backend.assign_fixed(column, row, value)
         self.layouter.mark(column, row)
+        if self.table_track is not None:
+            first, rows = self.table_track.get(column, (value, 0))
+            self.table_track[column] = (first, max(rows, offset + 1))
         return AssignedCell(Cell(column, row), value)
 
     def enable_selector(self, selector, offset):
@@ -176,8 +180,19 @@ class SingleChipLayouter:
         return result
 
     def assign_table(self, name, fn):
-        # tables become ordinary fixed assignments in a region (logup M2)
-        return self.assign_region(name, fn)
+        """Table region: after assignment, each touched fixed column is
+        filled to the end of the usable area with its FIRST assigned value
+        (the DefaultTableValue logic of floor_planner/single_pass.rs:29-150,
+        so lookups against default rows remain closed)."""
+        start = self._next_start()
+        rl = _RegionLayouter(self, start)
+        rl.table_track = {}
+        self.backend.enter_region(name)
+        result = fn(Region(rl))
+        self.backend.exit_region()
+        for col, (first_val, rows) in rl.table_track.items():
+            self.backend.fill_from_row(col, start + rows, first_val)
+        return result
 
     def constrain_instance(self, cell: Cell, instance: Column, row: int):
         self.backend.copy(cell, Cell(instance, row))

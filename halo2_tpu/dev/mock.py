@@ -57,6 +57,12 @@ class _MockAssembly(Assignment):
         self._check(row)
         return self.instance[column.index][row]
 
+    def fill_from_row(self, column, from_row, value):
+        if value is None:
+            return
+        for r in range(from_row, self.usable_rows):
+            self.fixed[column.index][r] = value % P
+
     def _check(self, row):
         if row >= self.usable_rows:
             raise ValueError(f"row {row} exceeds usable rows {self.usable_rows}")
@@ -81,6 +87,8 @@ class MockProver:
     def run(cls, k: int, circuit, instances) -> "MockProver":
         cs = ConstraintSystem()
         config = circuit.configure(cs)
+        cs.chunk_lookups()
+        cs.chunk_shuffles()
         n = 1 << k
         if n < cs.minimum_rows():
             raise ValueError(f"k={k} too small")

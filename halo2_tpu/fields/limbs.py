@@ -73,9 +73,14 @@ def limbs_to_int(limbs: np.ndarray) -> int:
 
 
 def limbs_to_ints(limbs: np.ndarray) -> list:
-    """(n_limbs, N) array -> list of N Python ints."""
+    """(n_limbs, N) array -> list of N Python ints (vectorized via object
+    dtype: one shift+add pass per limb instead of a per-element loop)."""
     limbs = np.asarray(limbs)
-    return [limbs_to_int(limbs[:, j]) for j in range(limbs.shape[1])]
+    acc = np.zeros(limbs.shape[1], dtype=object)
+    for i in range(limbs.shape[0] - 1, -1, -1):
+        acc <<= LIMB_BITS
+        acc += limbs[i].astype(object)
+    return acc.tolist()
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,8 @@ import functools
 from dataclasses import dataclass, field
 
 from halo2_tpu.fields.bn254 import Fr
+from halo2_tpu.plonk import logup as logup_mod
+from halo2_tpu.plonk import shuffle as shuffle_mod
 
 P = Fr.p
 
@@ -61,6 +63,12 @@ class Column:
 
     def __repr__(self):
         return f"{self.ctype[0].upper()}{self.index}"
+
+
+@dataclass(frozen=True)
+class TableColumn:
+    """A fixed column managed as a lookup table (circuit.rs:279-295)."""
+    inner: Column
 
 
 @dataclass(frozen=True)
@@ -298,8 +306,10 @@ class ConstraintSystem:
         self.fixed_queries: list[tuple[Column, int]] = []
         self.instance_queries: list[tuple[Column, int]] = []
         self.permutation = PermutationArgument()
-        self.lookups: list = []    # logup arguments (M2)
-        self.shuffles: list = []   # shuffle groups (M3)
+        self.lookups: list = []              # chunked logup arguments
+        self.lookup_tracers: dict = {}       # table_identifier -> ArgumentTracer
+        self.shuffles: list = []             # chunked shuffle groups
+        self.shuffle_tracer: list = []       # flat shuffle units
         self.constants: list[Column] = []
         self.minimum_degree: int | None = None
 
@@ -319,6 +329,9 @@ class ConstraintSystem:
         c = Column(self.num_instance_columns, "instance")
         self.num_instance_columns += 1
         return c
+
+    def table_column(self) -> TableColumn:
+        return TableColumn(self.fixed_column())
 
     def selector(self) -> Selector:
         s = Selector(self.num_selectors, self.fixed_column(), is_simple=True)
@@ -400,16 +413,81 @@ class ConstraintSystem:
             raise ValueError(f"gate {name} has no constraints")
         self.gates.append(Gate(name, polys, names))
 
+    # -- lookups / shuffles --------------------------------------------------
+    def lookup(self, name: str, fn):
+        """fn(meta) -> list of (input_expr, TableColumn) pairs
+        (circuit.rs:1330-1369). Lookups sharing a table merge into one
+        logup argument."""
+        cells = VirtualCells(self)
+        pairs = fn(cells)
+        inputs, tables = [], []
+        for inp, tbl in pairs:
+            assert isinstance(tbl, TableColumn)
+            inputs.append(_coerce(inp))
+            tables.append(cells.query_fixed(tbl.inner, 0))
+        return self._register_lookup(name, inputs, tables)
+
+    def lookup_any(self, name: str, fn):
+        """fn(meta) -> list of (input_expr, table_expr) pairs — any column
+        type as table (circuit.rs:1375-1406)."""
+        cells = VirtualCells(self)
+        pairs = fn(cells)
+        inputs = [_coerce(i) for i, _ in pairs]
+        tables = [_coerce(t) for _, t in pairs]
+        return self._register_lookup(name, inputs, tables)
+
+    def _register_lookup(self, name, inputs, tables):
+        index = len(self.lookup_tracers)
+        tid = "".join(t.identifier() for t in tables)
+        tracer = self.lookup_tracers.get(tid)
+        if tracer is not None:
+            tracer.input_expression_set.append((name, inputs))
+        else:
+            self.lookup_tracers[tid] = logup_mod.ArgumentTracer(
+                name, tables, [(name, inputs)])
+        return index
+
+    def shuffle(self, name: str, fn):
+        """fn(meta) -> list of (input_expr, shuffle_expr) pairs
+        (circuit.rs:1430-1442)."""
+        cells = VirtualCells(self)
+        pairs = fn(cells)
+        inputs = [_coerce(i) for i, _ in pairs]
+        shuffles = [_coerce(s) for _, s in pairs]
+        index = len(self.shuffle_tracer)
+        self.shuffle_tracer.append(
+            shuffle_mod.ShuffleUnit(name, inputs, shuffles))
+        return index
+
+    def chunk_lookups(self):
+        """Pack registered lookups by degree — iterate tracers in sorted
+        table-identifier order (the reference's BTreeMap order)."""
+        if self.lookup_tracers:
+            self.lookups = [self.lookup_tracers[tid].chunks(self.degree())
+                            for tid in sorted(self.lookup_tracers)]
+
+    def chunk_shuffles(self):
+        if self.shuffle_tracer:
+            self.shuffles = shuffle_mod.chunk(self.shuffle_tracer, self.degree())
+
     # -- global properties ---------------------------------------------------
     def degree(self) -> int:
         """Max constraint degree (circuit.rs:1862-1915)."""
         degree = self.permutation.required_degree()
-        # permutation product term degree: len-of-chunk related; handled by
-        # chunking at degree-2, so base requirement is 3
-        for lookup in self.lookups:
-            degree = max(degree, lookup.required_degree())
-        for shuffle in self.shuffles:
-            degree = max(degree, shuffle.required_degree())
+        # tracers (pre-chunk) take precedence, mirroring circuit.rs:1871-1901
+        if self.lookup_tracers:
+            for tracer in self.lookup_tracers.values():
+                degree = max(degree, tracer.required_degree())
+        else:
+            for lookup in self.lookups:
+                degree = max(degree, lookup.required_degree())
+        if self.shuffle_tracer:
+            for unit in self.shuffle_tracer:
+                degree = max(degree, unit.required_degree())
+        else:
+            for group in self.shuffles:
+                for unit in group.units:
+                    degree = max(degree, unit.required_degree())
         for gate in self.gates:
             for poly in gate.polys:
                 degree = max(degree, poly.degree())

@@ -13,12 +13,11 @@ domain:
   * rotations are `jnp.roll` by rot << (ext_k - k) (get_rotation_idx,
     evaluation.rs:40-42);
   * XLA fuses the elementwise constraint chains, replacing the reference's
-    hand-scheduled eval_* CUDA kernels (SURVEY.md §2.9);
-  * challenges enter as device operands, so one compiled program serves
-    every proof of the same circuit.
+    hand-scheduled eval_* CUDA kernels (SURVEY.md §2.9).
 
-The y-fold order matches the verifier exactly: gates (per instance), then
-permutation terms, then lookups, then shuffles (verifier.rs:300-384).
+The y-fold order matches the verifier exactly: gates, then permutation
+terms, then lookups (evaluation.rs:1088-1184 order), then shuffles
+(evaluation.rs:1186-1222) — verifier.rs:300-384.
 """
 
 from __future__ import annotations
@@ -33,10 +32,7 @@ from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.fields.limbs import N_LIMBS
 from halo2_tpu.ntt.ntt import powers_table_np
 from halo2_tpu.plonk import permutation as perm_mod
-from halo2_tpu.plonk.circuit import (
-    AdviceQuery, Constant, FixedQuery, InstanceQuery, Negated, Product,
-    Scaled, Sum,
-)
+from halo2_tpu.plonk.expr_eval import ExprCtx, compress_exprs, eval_expr
 
 F = Fr.raw
 P = Fr.p
@@ -47,42 +43,18 @@ class Evaluator:
 
     def __init__(self, pk):
         self.pk = pk
-        cs = pk.vk.cs
         domain = pk.vk.domain
         self.rot_scale = 1 << (domain.extended_k - domain.k)
         # coset_x[i] = zeta * extended_omega^i (the X value on the coset row)
-        zeta_pows = powers_table_np(domain.extended_omega, domain.extended_n,
-                                    P, lambda v: Fr.to_mont_int(v * domain.g_coset % P))
-        self._coset_x_np = zeta_pows
+        self._coset_x_np = powers_table_np(
+            domain.extended_omega, domain.extended_n, P,
+            lambda v: Fr.to_mont_int(v * domain.g_coset % P))
         self._jit = None
 
     # ------------------------------------------------------------------
-    def _expr_value(self, expr, ctx):
-        """Recursively evaluate an Expression on the extended domain."""
-        if isinstance(expr, Constant):
-            return F.broadcast_scalar(Fr.encode_scalar(expr.value),
-                                      (self.pk.vk.domain.extended_n,))
-        if isinstance(expr, (FixedQuery, AdviceQuery, InstanceQuery)):
-            kind = {FixedQuery: "fixed", AdviceQuery: "advice",
-                    InstanceQuery: "instance"}[type(expr)]
-            col = ctx[kind][:, expr.column_index, :]
-            if expr.rotation:
-                col = jnp.roll(col, -expr.rotation * self.rot_scale, axis=-1)
-            return col
-        if isinstance(expr, Negated):
-            return F.neg(self._expr_value(expr.expr, ctx))
-        if isinstance(expr, Sum):
-            return F.add(self._expr_value(expr.a, ctx), self._expr_value(expr.b, ctx))
-        if isinstance(expr, Product):
-            return F.mul(self._expr_value(expr.a, ctx), self._expr_value(expr.b, ctx))
-        if isinstance(expr, Scaled):
-            s = F.broadcast_scalar(Fr.encode_scalar(expr.scalar), ())
-            return F.mul(self._expr_value(expr.expr, ctx),
-                         s.reshape(N_LIMBS, 1))
-        raise TypeError(f"unknown expression node {type(expr)}")
-
-    # ------------------------------------------------------------------
-    def _build(self, advice_coeff, instance_coeff, zs_coeff, beta, gamma, y):
+    def _build(self, advice_coeff, instance_coeff, perm_zs_coeff,
+               lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
+               theta, beta, gamma, y):
         pk = self.pk
         cs = pk.vk.cs
         domain = pk.vk.domain
@@ -98,36 +70,49 @@ class Evaluator:
             padded = padded.at[:, :, : domain.n].set(shifted)
             return domain.ntt_ext.forward_traced(padded)
 
-        ctx = {
-            "advice": extend_batch(advice_coeff),
-            "instance": extend_batch(instance_coeff),
-            "fixed": pk.fixed_extended,
-        }
-        zs_ext = extend_batch(zs_coeff) if zs_coeff.shape[1] else None
+        ctx = ExprCtx(
+            advice=extend_batch(advice_coeff),
+            fixed=pk.fixed_extended,
+            instance=extend_batch(instance_coeff),
+            rot_scale=self.rot_scale,
+            length=ext_n,
+        )
+        perm_z = extend_batch(perm_zs_coeff)
+        lookup_m = extend_batch(lookup_ms_coeff)
+        lookup_z = extend_batch(lookup_zs_coeff)
+        shuffle_z = extend_batch(shuffle_zs_coeff)
+
+        def roll_next(a):
+            return jnp.roll(a, -self.rot_scale, axis=-1)
+
+        bf = cs.blinding_factors()
+
+        def roll_last(a):
+            return jnp.roll(a, (bf + 1) * self.rot_scale, axis=-1)
 
         ymul = lambda v, t: F.add(F.mul(v, y[:, None]), t)  # noqa: E731
         value = jnp.zeros((N_LIMBS, ext_n), jnp.uint32)
+        one = F.broadcast_scalar(Fr.r_np, (ext_n,))
+        l0 = pk.l0_extended
+        l_last = pk.l_last_extended
+        l_active = pk.l_active_extended
+        b = beta[:, None]
+        g = gamma[:, None]
 
-        # gates
+        # ---- gates -----------------------------------------------------
         for gate in cs.gates:
             for poly in gate.polys:
-                value = ymul(value, self._expr_value(poly, ctx))
+                value = ymul(value, eval_expr(poly, ctx))
 
-        # permutation terms (evaluation.rs:1004-1086)
+        # ---- permutation (evaluation.rs:1004-1086) ---------------------
         columns = cs.permutation.columns
         if columns:
-            num_sets = zs_ext.shape[1]
+            num_sets = perm_z.shape[1]
             chunk_len = cs.degree() - 2
-            bf = cs.blinding_factors()
-            l0 = pk.l0_extended
-            l_last = pk.l_last_extended
-            l_active = pk.l_active_extended
-            one = F.broadcast_scalar(Fr.r_np, (ext_n,))
             coset_x = jnp.asarray(self._coset_x_np)
-
-            z = [zs_ext[:, i, :] for i in range(num_sets)]
-            z_next = [jnp.roll(zi, -self.rot_scale, axis=-1) for zi in z]
-            z_lastrot = [jnp.roll(zi, (bf + 1) * self.rot_scale, axis=-1) for zi in z]
+            z = [perm_z[:, i, :] for i in range(num_sets)]
+            z_next = [roll_next(zi) for zi in z]
+            z_lastrot = [roll_last(zi) for zi in z]
 
             value = ymul(value, F.mul(F.sub(one, z[0]), l0))
             value = ymul(value, F.mul(F.sub(F.mul(z[-1], z[-1]), z[-1]), l_last))
@@ -135,37 +120,101 @@ class Evaluator:
                 value = ymul(value, F.mul(F.sub(z[i], z_lastrot[i - 1]), l0))
 
             def col_ext(column):
-                return {
-                    "advice": ctx["advice"], "fixed": ctx["fixed"],
-                    "instance": ctx["instance"]}[column.ctype][:, column.index, :]
+                return {"advice": ctx.advice, "fixed": ctx.fixed,
+                        "instance": ctx.instance}[column.ctype][:, column.index, :]
 
-            beta_x = F.mul(beta[:, None], coset_x)   # beta * X on the coset
+            beta_x = F.mul(b, coset_x)
             for ci, start in enumerate(range(0, len(columns), chunk_len)):
                 chunk = columns[start: start + chunk_len]
                 left = z_next[ci]
                 for j, col in enumerate(chunk):
                     sig = pk.permutation_pk.sigmas_extended[:, start + j, :]
-                    term = F.add(F.add(col_ext(col), F.mul(beta[:, None], sig)),
-                                 gamma[:, None])
-                    left = F.mul(left, term)
+                    left = F.mul(left, F.add(F.add(col_ext(col), F.mul(b, sig)), g))
                 right = z[ci]
                 for j, col in enumerate(chunk):
-                    dpow = pow(perm_mod.DELTA, start + j, P)
-                    dlimb = jnp.asarray(Fr.encode_scalar(dpow))
+                    dlimb = jnp.asarray(Fr.encode_scalar(
+                        pow(perm_mod.DELTA, start + j, P)))
                     cur_delta = F.mul(beta_x, dlimb[:, None])
-                    term = F.add(F.add(col_ext(col), cur_delta), gamma[:, None])
-                    right = F.mul(right, term)
+                    right = F.mul(right, F.add(F.add(col_ext(col), cur_delta), g))
                 value = ymul(value, F.mul(F.sub(left, right), l_active))
+
+        # ---- logup lookups (evaluation.rs:1088-1184) -------------------
+        z_off = 0
+        for li, lookup in enumerate(cs.lookups):
+            sets = lookup.input_expressions_sets
+            sets_len = len(sets)
+            zs = [lookup_z[:, z_off + i, :] for i in range(sets_len)]
+            z_off += sets_len
+            m_ext = lookup_m[:, li, :]
+            tau = F.add(compress_exprs(lookup.table_expressions, ctx, theta), b)
+
+            def phi_products(input_set):
+                phis = [F.add(compress_exprs(inputs, ctx, theta), b)
+                        for inputs in input_set]
+                prod = phis[0]
+                for p_ in phis[1:]:
+                    prod = F.mul(prod, p_)
+                # sum_i prod_{j != i} phi_j
+                psum = None
+                for i in range(len(phis)):
+                    term = None
+                    for j, p_ in enumerate(phis):
+                        if j == i:
+                            continue
+                        term = p_ if term is None else F.mul(term, p_)
+                    if term is None:
+                        term = one
+                    psum = term if psum is None else F.add(psum, term)
+                return prod, psum
+
+            # l_0 * z_first ; l_last * z_last
+            value = ymul(value, F.mul(zs[0], l0))
+            value = ymul(value, F.mul(zs[-1], l_last))
+            # base set: ((z(gX)-z(X)) * tau + m) * prod(phi) - tau * sum_prods
+            prod0, psum0 = phi_products(sets[0])
+            dz = F.sub(roll_next(zs[0]), zs[0])
+            term = F.sub(F.mul(F.add(F.mul(dz, tau), m_ext), prod0),
+                         F.mul(tau, psum0))
+            value = ymul(value, F.mul(term, l_active))
+            # chaining
+            for i in range(1, sets_len):
+                value = ymul(value, F.mul(F.sub(zs[i], roll_last(zs[i - 1])), l0))
+            # extra sets
+            for i in range(1, sets_len):
+                prod_i, psum_i = phi_products(sets[i])
+                dz = F.sub(roll_next(zs[i]), zs[i])
+                term = F.sub(F.mul(dz, prod_i), psum_i)
+                value = ymul(value, F.mul(term, l_active))
+
+        # ---- shuffles (evaluation.rs:1186-1222) ------------------------
+        for gi, group in enumerate(cs.shuffles):
+            z = shuffle_z[:, gi, :]
+            # challenges beta^(i+1) per unit
+            input_prod, shuf_prod = None, None
+            chal = b
+            for unit in group.units:
+                a_c = F.add(compress_exprs(unit.input_expressions, ctx, theta), chal)
+                s_c = F.add(compress_exprs(unit.shuffle_expressions, ctx, theta), chal)
+                input_prod = a_c if input_prod is None else F.mul(input_prod, a_c)
+                shuf_prod = s_c if shuf_prod is None else F.mul(shuf_prod, s_c)
+                chal = F.mul(chal, b)
+            value = ymul(value, F.mul(F.sub(one, z), l0))
+            value = ymul(value, F.mul(F.sub(F.mul(z, z), z), l_last))
+            term = F.sub(F.mul(roll_next(z), shuf_prod), F.mul(z, input_prod))
+            value = ymul(value, F.mul(term, l_active))
 
         return value
 
     # ------------------------------------------------------------------
-    def evaluate_h(self, advice_coeff, instance_coeff, zs_coeff,
-                   beta: int, gamma: int, y: int):
+    def evaluate_h(self, advice_coeff, instance_coeff, perm_zs_coeff,
+                   lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
+                   theta: int, beta: int, gamma: int, y: int):
         """Returns h numerator on the extended coset (16, ext_n)."""
         if self._jit is None:
             self._jit = jax.jit(self._build)
-        return self._jit(advice_coeff, instance_coeff, zs_coeff,
+        return self._jit(advice_coeff, instance_coeff, perm_zs_coeff,
+                         lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
+                         jnp.asarray(Fr.encode_scalar(theta)),
                          jnp.asarray(Fr.encode_scalar(beta)),
                          jnp.asarray(Fr.encode_scalar(gamma)),
                          jnp.asarray(Fr.encode_scalar(y)))

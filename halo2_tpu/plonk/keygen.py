@@ -70,6 +70,12 @@ class KeygenAssembly(Assignment):
             raise ValueError("not enough rows available")
         return None  # instance values unknown at keygen
 
+    def fill_from_row(self, column, from_row, value):
+        if value is None:
+            return
+        for r in range(from_row, self.usable_rows):
+            self.fixed[column.index][r] = value % P
+
     def is_in_prove_mode(self):
         return False
 
@@ -132,6 +138,10 @@ def keygen(params, circuit, floor_planner=None):
     """keygen_vk + keygen_pk in one pass (keygen.rs:233-455)."""
     cs = ConstraintSystem()
     config = circuit.configure(cs)
+    # chunk lookups and shuffles by degree (circuit_configure,
+    # plonk/circuit.rs:1316-1324)
+    cs.chunk_lookups()
+    cs.chunk_shuffles()
     degree = cs.degree()
     k = params.k
     n = params.n

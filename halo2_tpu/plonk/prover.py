@@ -37,7 +37,8 @@ from halo2_tpu.fields.limbs import N_LIMBS
 from halo2_tpu.msm import msm
 from halo2_tpu.multiopen import ProverQuery
 from halo2_tpu.multiopen import gwc
-from halo2_tpu.plonk import permutation as perm_mod
+from halo2_tpu.plonk import logup_prover, permutation as perm_mod, shuffle_prover
+from halo2_tpu.plonk.expr_eval import ExprCtx
 from halo2_tpu.plonk.vanishing import VanishingProver
 from halo2_tpu.poly.arith import eval_poly
 from halo2_tpu.transcript import Blake2bWrite
@@ -139,10 +140,29 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
                              max_bits=max_bits)
         transcript.write_point(com)
 
-    # 3. theta (lookups M2)
+    # 3. theta; lookup compression + m(X) commitments
     theta = transcript.squeeze_challenge()
+    theta_l = jnp.asarray(Fr.encode_scalar(theta))
+    fixed_lagrange = pk.fixed_lagrange
+    lag_ctx = ExprCtx(advice_lagrange, fixed_lagrange, instance_lagrange,
+                      rot_scale=1, length=n)
+    lookup_data = []  # (table, input_sets, m_lagrange)
+    for lookup in cs.lookups:
+        table, input_sets = logup_prover.compress(lookup, lag_ctx, theta_l)
+        flat_inputs = [c for s in input_sets for c in s]
+        m_lag, m_bits = logup_prover.multiplicities(
+            table, flat_inputs, usable_rows, rng, bf)
+        for tier in (16, 64, 128, 192, 256):
+            if m_bits <= tier:
+                m_bits = tier
+                break
+        m_com = _commit_affine(params, m_lag, max_bits=m_bits)
+        transcript.write_point(m_com)
+        lookup_data.append((table, input_sets, m_lag))
 
-    # 4. beta, gamma
+    # 4. shuffle compression; beta, gamma
+    shuffle_data = [shuffle_prover.compress(group, lag_ctx, theta_l)
+                    for group in cs.shuffles]
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -159,6 +179,21 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     for com in z_commitments:
         transcript.write_point(com)
 
+    # 5b. lookup grand sums, then shuffle grand products
+    lookup_zs = []  # list per lookup of z lagrange columns
+    for table, input_sets, m_lag in lookup_data:
+        zset = logup_prover.commit_zs(domain, cs, table, input_sets, m_lag,
+                                      beta, rng)
+        for z in zset:
+            transcript.write_point(_commit_affine(params, z))
+        lookup_zs.append(zset)
+    shuffle_zs = []
+    for input_cols, shuffle_cols in shuffle_data:
+        z = shuffle_prover.commit_product(domain, cs, input_cols, shuffle_cols,
+                                          beta, rng)
+        transcript.write_point(_commit_affine(params, z))
+        shuffle_zs.append(z)
+
     # 6. vanishing random poly -> y
     vanishing = VanishingProver(params, domain, rng)
     transcript.write_point(vanishing.random_commitment)
@@ -172,10 +207,22 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     zs_coeff_list = [domain.ntt.inverse(z) for z in zs]
     zs_coeff = (jnp.stack(zs_coeff_list, axis=1) if zs_coeff_list
                 else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    lookup_m_coeffs = [domain.ntt.inverse(m) for _, _, m in lookup_data]
+    lookup_ms_coeff = (jnp.stack(lookup_m_coeffs, axis=1) if lookup_m_coeffs
+                       else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    lookup_z_coeffs = [[domain.ntt.inverse(z) for z in zset]
+                       for zset in lookup_zs]
+    flat_lookup_z = [z for zset in lookup_z_coeffs for z in zset]
+    lookup_zs_coeff = (jnp.stack(flat_lookup_z, axis=1) if flat_lookup_z
+                       else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    shuffle_z_coeffs = [domain.ntt.inverse(z) for z in shuffle_zs]
+    shuffle_zs_coeff = (jnp.stack(shuffle_z_coeffs, axis=1) if shuffle_z_coeffs
+                        else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
     # 8. h evaluation
     h_ext = pk.ev.evaluate_h(advice_coeff, instance_coeff, zs_coeff,
-                             beta, gamma, y)
+                             lookup_ms_coeff, lookup_zs_coeff,
+                             shuffle_zs_coeff, theta, beta, gamma, y)
 
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
@@ -204,6 +251,15 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     # permutation set evals
     for s in perm_mod.evaluate_sets(domain, cs, zs_coeff_list, x):
         transcript.write_scalar(s)
+    # lookup evals (m, then per-z x / wx / [w^last x])
+    for li in range(len(cs.lookups)):
+        for s in logup_prover.evaluate(domain, cs, lookup_m_coeffs[li],
+                                       lookup_z_coeffs[li], x):
+            transcript.write_scalar(s)
+    # shuffle evals (z at x, wx)
+    for gi in range(len(cs.shuffles)):
+        for s in shuffle_prover.evaluate(domain, shuffle_z_coeffs[gi], x):
+            transcript.write_scalar(s)
 
     # 11. multiopen queries (prover.rs:792-846 order)
     x_next = domain.rotate_omega(x, 1)
@@ -223,6 +279,18 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     # (permutation/prover.rs open(): .rev().skip(1))
     for zc in reversed(zs_coeff_list[:-1]):
         queries.append(ProverQuery(x_last, -(bf + 1), zc))
+    # lookups open (logup/prover.rs:449-496): m; z's at x,wx; rev-skip-1 last
+    for li in range(len(cs.lookups)):
+        queries.append(ProverQuery(x, 0, lookup_m_coeffs[li]))
+        for zc in lookup_z_coeffs[li]:
+            queries.append(ProverQuery(x, 0, zc))
+            queries.append(ProverQuery(x_next, 1, zc))
+        for zc in reversed(lookup_z_coeffs[li][:-1]):
+            queries.append(ProverQuery(x_last, -(bf + 1), zc))
+    # shuffles open: z at x, wx
+    for zc in shuffle_z_coeffs:
+        queries.append(ProverQuery(x, 0, zc))
+        queries.append(ProverQuery(x_next, 1, zc))
     for column, rot in cs.fixed_queries:
         queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
                                    pk.fixed_coeff[:, column.index, :]))

@@ -42,10 +42,15 @@ def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
     advice_commitments = [transcript.read_point()
                           for _ in range(cs.num_advice_columns)]
     theta = transcript.squeeze_challenge()
+    lookup_m_commitments = [transcript.read_point() for _ in cs.lookups]
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
     perm_z_commitments = perm_mod.read_product_commitments(cs, transcript)
+    lookup_z_commitments = [
+        [transcript.read_point() for _ in lookup.input_expressions_sets]
+        for lookup in cs.lookups]
+    shuffle_z_commitments = [transcript.read_point() for _ in cs.shuffles]
     random_commitment = transcript.read_point()
     y = transcript.squeeze_challenge()
     h_commitments = [transcript.read_point()
@@ -59,6 +64,21 @@ def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
     perm_common_evals = [transcript.read_scalar()
                          for _ in cs.permutation.columns]
     perm_sets = perm_mod.read_set_evals(cs, len(perm_z_commitments), transcript)
+    # lookup evals: m; per z: x, wx, [w^last x except last]
+    lookup_evals = []
+    for lookup in cs.lookups:
+        m_eval = transcript.read_scalar()
+        zsets = []
+        ns = len(lookup.input_expressions_sets)
+        for i in range(ns):
+            z_x = transcript.read_scalar()
+            z_wx = transcript.read_scalar()
+            z_last = transcript.read_scalar() if i + 1 < ns else None
+            zsets.append((z_x, z_wx, z_last))
+        lookup_evals.append((m_eval, zsets))
+    # shuffle evals: z at x, wx per group
+    shuffle_evals = [(transcript.read_scalar(), transcript.read_scalar())
+                     for _ in cs.shuffles]
 
     # ---- expected h(x) ----------------------------------------------------
     xn = pow(x, n, P)
@@ -85,6 +105,61 @@ def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
     expressions.extend(perm_mod.verifier_expressions(
         cs, perm_sets, perm_common_evals, query_eval,
         l_0, l_last, l_blind, beta, gamma, x))
+
+    def compress_evals(exprs):
+        acc = 0
+        for e in exprs:
+            acc = (acc * theta + eval_expression_host(
+                e,
+                lambda q: fixed_evals[q.query_index],
+                lambda q: advice_evals[q.query_index],
+                lambda q: instance_evals[q.query_index])) % P
+        return acc
+
+    active_rows = (1 - (l_last + l_blind)) % P
+    # logup expressions (logup/verifier.rs:101-220)
+    for lookup, (m_eval, zsets) in zip(cs.lookups, lookup_evals):
+        sets = lookup.input_expressions_sets
+        expressions.append(l_0 * zsets[0][0] % P)
+        expressions.append(l_last * zsets[-1][0] % P)
+        # base product expression
+        phi = [(compress_evals(inputs) + beta) % P for inputs in sets[0]]
+        tau = (compress_evals(lookup.table_expressions) + beta) % P
+        product_fi = 1
+        for p_ in phi:
+            product_fi = product_fi * p_ % P
+        sum_inv = sum(pow(p_, P - 2, P) for p_ in phi) % P
+        z_gx_minus_zx = (zsets[0][1] - zsets[0][0]) % P
+        left = (tau * z_gx_minus_zx + m_eval) % P * product_fi % P
+        right = tau * product_fi % P * sum_inv % P
+        expressions.append((left - right) % P * active_rows % P)
+        # chaining
+        for i in range(1, len(sets)):
+            expressions.append(
+                l_0 * ((zsets[i][0] - zsets[i - 1][2]) % P) % P)
+        # extra sets
+        for i in range(1, len(sets)):
+            phi = [(compress_evals(inputs) + beta) % P for inputs in sets[i]]
+            product_fi = 1
+            for p_ in phi:
+                product_fi = product_fi * p_ % P
+            sum_inv = sum(pow(p_, P - 2, P) for p_ in phi) % P
+            left = (zsets[i][1] - zsets[i][0]) % P
+            expressions.append(
+                (left - sum_inv) % P * product_fi % P * active_rows % P)
+
+    # shuffle expressions (shuffle/verifier.rs:60-127)
+    for group, (z_x, z_wx) in zip(cs.shuffles, shuffle_evals):
+        prod_shuffle, prod_input = 1, 1
+        chal = beta
+        for unit in group.units:
+            prod_shuffle = prod_shuffle * ((compress_evals(unit.shuffle_expressions) + chal) % P) % P
+            prod_input = prod_input * ((compress_evals(unit.input_expressions) + chal) % P) % P
+            chal = chal * beta % P
+        expressions.append(l_0 * ((1 - z_x) % P) % P)
+        expressions.append(l_last * ((z_x * z_x - z_x) % P) % P)
+        expressions.append(
+            (z_wx * prod_shuffle - z_x * prod_input) % P * active_rows % P)
 
     h_eval = 0
     for v in expressions:
@@ -114,6 +189,20 @@ def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
     for i in range(len(perm_sets) - 2, -1, -1):
         queries.append(VerifierQuery(x_last, -(bf + 1), perm_z_commitments[i],
                                      perm_sets[i].z_last))
+    # lookup queries (logup/verifier.rs:226-264)
+    for li, (m_eval, zsets) in enumerate(lookup_evals):
+        queries.append(VerifierQuery(x, 0, lookup_m_commitments[li], m_eval))
+        for zi, (z_x, z_wx, z_last) in enumerate(zsets):
+            queries.append(VerifierQuery(x, 0, lookup_z_commitments[li][zi], z_x))
+            queries.append(VerifierQuery(x_next, 1, lookup_z_commitments[li][zi], z_wx))
+        for zi in range(len(zsets) - 2, -1, -1):
+            queries.append(VerifierQuery(x_last, -(bf + 1),
+                                         lookup_z_commitments[li][zi],
+                                         zsets[zi][2]))
+    # shuffle queries
+    for gi, (z_x, z_wx) in enumerate(shuffle_evals):
+        queries.append(VerifierQuery(x, 0, shuffle_z_commitments[gi], z_x))
+        queries.append(VerifierQuery(x_next, 1, shuffle_z_commitments[gi], z_wx))
     for qi, (column, rot) in enumerate(cs.fixed_queries):
         queries.append(VerifierQuery(domain.rotate_omega(x, rot), rot,
                                      vk.fixed_commitments[column.index],
