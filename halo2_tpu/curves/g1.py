@@ -72,43 +72,13 @@ def add(p, q):
     """Complete projective addition (RCB15 Algorithm 7, a=0, b3=9).
 
     Handles identity, doubling, and inverse inputs uniformly — 12 Fq muls
-    (two of which are mul-by-9 done via adds)."""
-    x1, y1, z1 = p
-    x2, y2, z2 = q
-    t0 = F.mul(x1, x2)
-    t1 = F.mul(y1, y2)
-    t2 = F.mul(z1, z2)
-    t3 = F.add(x1, y1)
-    t4 = F.add(x2, y2)
-    t3 = F.mul(t3, t4)
-    t4 = F.add(t0, t1)
-    t3 = F.sub(t3, t4)
-    t4 = F.add(y1, z1)
-    x3 = F.add(y2, z2)
-    t4 = F.mul(t4, x3)
-    x3 = F.add(t1, t2)
-    t4 = F.sub(t4, x3)
-    x3 = F.add(x1, z1)
-    y3 = F.add(x2, z2)
-    x3 = F.mul(x3, y3)
-    y3 = F.add(t0, t2)
-    y3 = F.sub(x3, y3)
-    x3 = F.add(t0, t0)
-    t0 = F.add(x3, t0)
-    t2 = _mul_by_9(t2)
-    z3 = F.add(t1, t2)
-    t1 = F.sub(t1, t2)
-    y3 = _mul_by_9(y3)
-    x3 = F.mul(t4, y3)
-    t2 = F.mul(t3, t1)
-    x3 = F.sub(t2, x3)
-    y3 = F.mul(y3, t0)
-    t1 = F.mul(t1, z3)
-    y3 = F.add(t1, y3)
-    t0 = F.mul(t0, t3)
-    z3 = F.mul(z3, t4)
-    z3 = F.add(z3, t0)
-    return (x3, y3, z3)
+    (two of which are mul-by-9 done via adds). Dispatches to the fused
+    Pallas point kernel on TPU for large batches."""
+    from halo2_tpu.curves import formulas, pallas_point
+    out = pallas_point.point_op("add", list(p) + list(q))
+    if out is not None:
+        return out
+    return formulas.add_complete(F, p, q)
 
 
 @maybe_jit
@@ -117,61 +87,23 @@ def add_mixed(p, q_aff):
 
     11 Fq muls. Complete except when q is the group identity — affine inputs
     here (SRS points, bucket feeds) are never the identity; callers that may
-    feed identity-tagged affine points must mask with `select`."""
-    x1, y1, z1 = p
-    x2, y2 = q_aff
-    t0 = F.mul(x1, x2)
-    t1 = F.mul(y1, y2)
-    t3 = F.add(x2, y2)
-    t4 = F.add(x1, y1)
-    t3 = F.mul(t3, t4)
-    t4 = F.add(t0, t1)
-    t3 = F.sub(t3, t4)
-    t4 = F.mul(y2, z1)
-    t4 = F.add(t4, y1)
-    y3 = F.mul(x2, z1)
-    y3 = F.add(y3, x1)
-    x3 = F.add(t0, t0)
-    t0 = F.add(x3, t0)
-    t2 = _mul_by_9(z1)
-    z3 = F.add(t1, t2)
-    t1 = F.sub(t1, t2)
-    y3 = _mul_by_9(y3)
-    x3 = F.mul(t4, y3)
-    t2 = F.mul(t3, t1)
-    x3 = F.sub(t2, x3)
-    y3 = F.mul(y3, t0)
-    t1 = F.mul(t1, z3)
-    y3 = F.add(t1, y3)
-    t0 = F.mul(t0, t3)
-    z3 = F.mul(z3, t4)
-    z3 = F.add(z3, t0)
-    return (x3, y3, z3)
+    feed identity-tagged affine points must mask with `select`. Fused Pallas
+    kernel on TPU for large batches."""
+    from halo2_tpu.curves import formulas, pallas_point
+    out = pallas_point.point_op("add_mixed", list(p) + list(q_aff))
+    if out is not None:
+        return out
+    return formulas.add_mixed(F, p, q_aff)
 
 
 @maybe_jit
 def double(p):
     """Complete doubling (RCB15 Algorithm 9, a=0, b3=9). 8 Fq muls."""
-    x, y, z = p
-    t0 = F.mul(y, y)
-    z3 = F.add(t0, t0)
-    z3 = F.add(z3, z3)
-    z3 = F.add(z3, z3)
-    t1 = F.mul(y, z)
-    t2 = F.mul(z, z)
-    t2 = _mul_by_9(t2)
-    x3 = F.mul(t2, z3)
-    y3 = F.add(t0, t2)
-    z3 = F.mul(t1, z3)
-    t1 = F.add(t2, t2)
-    t2 = F.add(t1, t2)
-    t0 = F.sub(t0, t2)
-    y3 = F.mul(t0, y3)
-    y3 = F.add(x3, y3)
-    t1 = F.mul(x, y)
-    x3 = F.mul(t0, t1)
-    x3 = F.add(x3, x3)
-    return (x3, y3, z3)
+    from halo2_tpu.curves import formulas, pallas_point
+    out = pallas_point.point_op("double", list(p))
+    if out is not None:
+        return out
+    return formulas.double_complete(F, p)
 
 
 def select(mask, p, q):

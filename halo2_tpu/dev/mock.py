@@ -98,6 +98,9 @@ class MockProver:
             raise ValueError("wrong number of instance columns")
         assembly = _MockAssembly(cs, n, usable, inst_cols)
         SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+        from halo2_tpu.plonk.range_check import fill_and_sort
+        for rel in cs.range_check:
+            fill_and_sort(assembly.advice, rel, usable, -1)
         return cls(cs, config, assembly, n)
 
     def verify(self) -> list:

@@ -88,7 +88,7 @@ def limbs_to_ints(limbs: np.ndarray) -> list:
 #
 # Everything here is formulated as a FIXED, SHALLOW graph of full-width vector
 # ops — no per-limb Python loops, no scatter updates:
-#   * products: one batched outer product + "skew" anti-diagonal reduction
+#   * products: 16-step accumulate of concat-shifted partial products
 #   * carries:  two relaxation passes + Kogge–Stone carry-lookahead (log depth)
 # This keeps XLA compile time flat and maps every op onto full VPU lanes.
 # ---------------------------------------------------------------------------
@@ -118,10 +118,11 @@ def carry_prop(acc, n_out: int):
         acc = acc[:width]  # caller guarantees value bound
     # pass 1: split and fold multi-bit carries once
     acc = (acc & MASK) + _shift_up(acc >> LIMB_BITS)
-    # pass 2: after pass 1 limbs < 2^17, so per-limb carry-out is 0/1
+    # pass 2: after pass 1 limbs < 2^17, so per-limb carry-out is 0/1.
+    # All flags stay u32 0/1 (no i1 vectors — Mosaic-friendly).
     lo = acc & MASK
-    g = (acc >> LIMB_BITS) != 0               # limb k generates carry out
-    p = lo == MASK                            # limb k propagates carry through
+    g = acc >> LIMB_BITS                      # generate: 0/1
+    p = (lo + 1) >> LIMB_BITS                 # propagate: 1 iff lo == MASK
     # Kogge–Stone prefix of (g, p): G_k = carry OUT of limb k
     G, P = g, p
     shift = 1
@@ -129,32 +130,41 @@ def carry_prop(acc, n_out: int):
         G = G | (P & _shift_up(G, shift))
         P = P & _shift_up(P, shift)
         shift *= 2
-    cin = _shift_up(G.astype(U32), 1)         # carry INTO each limb
+    cin = _shift_up(G, 1)                     # carry INTO each limb
     out = (lo + cin) & MASK
     return out[:n_out], out[n_out] if width > n_out else jnp.zeros_like(out[0])
 
 
-def _skew_diag_sum(P):
-    """P: (16, 16, *B) -> (32, *B) anti-diagonal sums out[k] = sum_i P[i, k-i].
-
-    Pad rows 16 -> 33 wide, flatten, re-slice as 32-wide rows: row i, col k of
-    the new view is flat[32i + k] = P[i, k - i] (or padding zero).  One pad +
-    reshape + reduction — no gathers."""
-    batch = P.shape[2:]
-    Z = jnp.pad(P, ((0, 0), (0, 17)) + ((0, 0),) * len(batch))
-    Zf = Z.reshape((16 * 33,) + batch)[: 16 * 32].reshape((16, 32) + batch)
-    return jnp.sum(Zf, axis=0)
+def _zeros_like_rows(x, k: int):
+    return jnp.zeros((k,) + x.shape[1:], U32)
 
 
 def mul_wide(a, b):
     """Full 512-bit product of two 256-bit limb vectors.
 
-    a: (16, *B), b: (16, *B) -> (32, *B) canonical 16-bit limbs."""
+    a: (16, *B), b: (16, *B) -> (32, *B) canonical 16-bit limbs.
+
+    Schoolbook as a 16-step accumulate of shifted partial products. Each
+    step's contribution is placed by CONCATENATION (no scatter, no skewed
+    mega-tensors), so peak live memory stays at a few (32, *B) buffers —
+    this matters at MSM bucket widths and k=22 NTT sizes.  Accumulator
+    limbs stay < 16 * 2 * (2^16-1) < 2^21: no overflow."""
     a, b = jnp.broadcast_arrays(a, b)
-    P = a[:, None] * b[None, :]               # (16, 16, *B), exact in u32
-    sl = _skew_diag_sum(P & MASK)             # each sum <= 16*(2^16-1) < 2^21
-    sh = _skew_diag_sum(P >> LIMB_BITS)
-    acc = sl + _shift_up(sh)
+
+    def _placed(x, lead: int, trail: int):
+        parts = []
+        if lead:
+            parts.append(_zeros_like_rows(x, lead))
+        parts.append(x)
+        if trail:
+            parts.append(_zeros_like_rows(x, trail))
+        return jnp.concatenate(parts, 0) if len(parts) > 1 else x
+
+    acc = _zeros_like_rows(b, 2 * N_LIMBS)
+    for i in range(N_LIMBS):
+        p = a[i][None] * b                    # (16, *B), exact in u32
+        acc = acc + _placed(p & MASK, i, N_LIMBS - i)
+        acc = acc + _placed(p >> LIMB_BITS, i + 1, N_LIMBS - i - 1)
     out, _ = carry_prop(acc, 2 * N_LIMBS)
     return out
 
@@ -162,13 +172,46 @@ def mul_wide(a, b):
 def mul_lo(a, b):
     """Low 256 bits of a*b (mod 2**256), canonical 16-bit limbs."""
     a, b = jnp.broadcast_arrays(a, b)
-    P = a[:, None] * b[None, :]
-    sl = _skew_diag_sum(P & MASK)[:N_LIMBS]
-    sh = _skew_diag_sum(P >> LIMB_BITS)[:N_LIMBS - 1]
-    acc = sl + _shift_up(jnp.concatenate(
-        [sh, jnp.zeros((1,) + sh.shape[1:], U32)], axis=0))
+    acc = _zeros_like_rows(b, N_LIMBS)
+    for i in range(N_LIMBS):
+        p = a[i][None] * b[: N_LIMBS - i]
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        c1 = jnp.concatenate([_zeros_like_rows(b, i), lo], 0) if i else lo
+        acc = acc + c1
+        if i + 1 < N_LIMBS:
+            c2 = jnp.concatenate(
+                [_zeros_like_rows(b, i + 1), hi[: N_LIMBS - i - 1]], 0)
+            acc = acc + c2
     out, _ = carry_prop(acc, N_LIMBS)
     return out
+
+
+def add_mod_raw(a, b, p):
+    """(a + b) mod p with p passed explicitly; a, b canonical."""
+    s, _ = carry_prop(a + b, N_LIMBS)
+    diff, borrow = sub_limbs(s, jnp.broadcast_to(p, s.shape))
+    return jnp.where(borrow == 0, diff, s)
+
+
+def sub_mod_raw(a, b, p):
+    """(a - b) mod p with p passed explicitly."""
+    d, borrow = sub_limbs(a, b)
+    dp, _ = carry_prop(d + p, N_LIMBS)
+    return jnp.where(borrow == 1, dp, d)
+
+
+def mont_mul_raw(a, b, p, pinv):
+    """Montgomery product with the modulus/constant arrays passed in
+    explicitly (for Pallas kernels, which cannot capture array constants).
+    a, b: (16, *B); p, pinv: (16, 1)-broadcastable limb arrays."""
+    t = mul_wide(a, b)
+    m = mul_lo(t[:N_LIMBS], pinv)
+    mp = mul_wide(m, p)
+    full, _ = carry_prop(t + mp, 2 * N_LIMBS)
+    hi = full[N_LIMBS:]
+    diff, borrow = sub_limbs(hi, jnp.broadcast_to(p, hi.shape))
+    return jnp.where(borrow == 0, diff, hi)
 
 
 def add_limbs(a, b, n: int = N_LIMBS):
@@ -181,8 +224,10 @@ def sub_limbs(a, b, n: int = N_LIMBS):
     """Limbwise subtract. Returns (limbs, borrow_out), borrow_out = 1 iff
     a < b.  Computed as a + ~b + 1 (two's complement over 16n bits)."""
     t = a + (MASK - b)
-    one = jnp.zeros((n,) + t.shape[1:], U32).at[0].set(1)
-    out, carry = carry_prop(t + one[: t.shape[0]], n)
+    one = jnp.concatenate(
+        [jnp.ones((1,) + t.shape[1:], U32),
+         jnp.zeros((t.shape[0] - 1,) + t.shape[1:], U32)], axis=0)
+    out, carry = carry_prop(t + one, n)
     return out, 1 - carry
 
 
@@ -330,12 +375,20 @@ class Field:
 
     @jit_method
     def add(self, a, b):
+        from halo2_tpu.fields import pallas_ops
+        out = pallas_ops.binop("add", self, a, b)
+        if out is not None:
+            return out
         a, b = jnp.broadcast_arrays(a, b)
         s, _ = add_limbs(a, b)  # < 2p < 2**255: no carry out of limb 15
         return self.raw.cond_sub_p(s)
 
     @jit_method
     def sub(self, a, b):
+        from halo2_tpu.fields import pallas_ops
+        out = pallas_ops.binop("sub", self, a, b)
+        if out is not None:
+            return out
         a, b = jnp.broadcast_arrays(a, b)
         d, borrow = sub_limbs(a, b)
         p = self.broadcast_scalar(self.p_np, d.shape[1:])
@@ -365,7 +418,12 @@ class Field:
     @jit_method
     def mul(self, a, b):
         """Montgomery product: returns a*b/R mod p (both in Montgomery form
-        => result in Montgomery form)."""
+        => result in Montgomery form).  Dispatches to the fused Pallas
+        kernel on TPU for large batches (fields/pallas_ops.py)."""
+        from halo2_tpu.fields import pallas_ops
+        out = pallas_ops.binop("mul", self, a, b)
+        if out is not None:
+            return out
         return self.raw.mont_reduce(mul_wide(a, b))
 
     @jit_method

@@ -189,8 +189,9 @@ def _msm_jit(n: int, num_windows: int, lanes: int):
 
 
 def _pick_lanes(n: int) -> int:
-    # keep bucket memory (W*256*L point columns) and scan length balanced
-    for l in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+    # keep bucket memory (W*256*L point columns: ~1.5MB per lane at c=8)
+    # inside HBM alongside the scan temporaries
+    for l in (64, 32, 16, 8, 4, 2, 1):
         if n % l == 0 and n // l >= 1:
             return l
     return 1

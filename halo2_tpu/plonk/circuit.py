@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.plonk import logup as logup_mod
 from halo2_tpu.plonk import shuffle as shuffle_mod
+from halo2_tpu.plonk.range_check import RangeCheckRel
 
 P = Fr.p
 
@@ -310,6 +311,7 @@ class ConstraintSystem:
         self.lookup_tracers: dict = {}       # table_identifier -> ArgumentTracer
         self.shuffles: list = []             # chunked shuffle groups
         self.shuffle_tracer: list = []       # flat shuffle units
+        self.range_check: list = []          # RangeCheckRel entries
         self.constants: list[Column] = []
         self.minimum_degree: int | None = None
 
@@ -458,6 +460,36 @@ class ConstraintSystem:
         self.shuffle_tracer.append(
             shuffle_mod.ShuffleUnit(name, inputs, shuffles))
         return index
+
+    def advice_column_range(self, l_0: Column, l_active: Column,
+                            l_last_active: Column, min_v: int, max_v: int,
+                            step: int) -> Column:
+        """Range-checked advice column (circuit.rs:1771-1826): allocates
+        origin + sort columns, adds the 3-constraint sort gate and the
+        origin<->sort shuffle; the prover fills and sorts automatically.
+        l_0 / l_active / l_last_active are user-maintained fixed indicator
+        columns (1 at row 0 / on active rows / at the last active row)."""
+        origin = self.advice_column()
+        sort = self.advice_column()
+
+        def gate(m):
+            s_cur = m.query_advice(sort, 0)
+            s_next = m.query_advice(sort, 1)
+            first = m.query_fixed(l_0, 0) * (Constant(min_v % P) - s_cur)
+            last = m.query_fixed(l_last_active, 0) * (Constant(max_v % P) - s_cur)
+            prod = None
+            for s in range(step + 1):
+                term = s_next - s_cur - Constant(s % P)
+                prod = term if prod is None else prod * term
+            mid = (m.query_fixed(l_active, 0) - m.query_fixed(l_last_active, 0)) * prod
+            return [("rc_first", first), ("rc_last", last), ("rc_step", mid)]
+
+        self.create_gate("range check", gate)
+        self.shuffle("range check col", lambda m: [
+            (m.query_advice(origin, 0), m.query_advice(sort, 0))])
+        self.range_check.append(
+            RangeCheckRel(origin, sort, min_v, max_v, step))
+        return origin
 
     def chunk_lookups(self):
         """Pack registered lookups by degree — iterate tracers in sorted

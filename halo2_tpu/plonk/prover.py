@@ -56,6 +56,7 @@ class WitnessCollection(Assignment):
         self.usable_rows = usable_rows
         self.instances = instances
         self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
+        self.max_assigned = [-1] * cs.num_advice_columns
 
     def enable_selector(self, selector, row):
         pass  # fixed at keygen
@@ -66,6 +67,8 @@ class WitnessCollection(Assignment):
         if value is None:
             raise ValueError("advice value not assigned (synthesis)")
         self.advice[column.index][row] = value % P
+        if row > self.max_assigned[column.index]:
+            self.max_assigned[column.index] = row
 
     def assign_fixed(self, column, row, value):
         pass
@@ -89,7 +92,7 @@ def _commit_affine(params, values, max_bits=256, base="lagrange"):
 
 
 def create_proof(params, pk, circuit, instances, seed: int | None = None,
-                 floor_planner=None) -> bytes:
+                 floor_planner=None, use_gwc: bool = True) -> bytes:
     """Prove one circuit instance. instances: list of instance columns
     (each a list of ints, length <= usable rows). Returns proof bytes."""
     vk = pk.vk
@@ -121,6 +124,12 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     witness = WitnessCollection(cs, n, usable_rows, instance_cols)
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(witness, circuit, witness_config(circuit, cs), cs.constants)
+    # range-check columns: fill the tail sequence + counting sort
+    # (prover.rs:1699-1779)
+    from halo2_tpu.plonk.range_check import fill_and_sort
+    for rel in cs.range_check:
+        fill_and_sort(witness.advice, rel, usable_rows,
+                      witness.max_assigned[rel.origin.index])
     # u16-random blinding rows (prover.rs:283-290)
     for col in witness.advice:
         for r in range(usable_rows, n):
@@ -261,16 +270,25 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
         for s in shuffle_prover.evaluate(domain, shuffle_z_coeffs[gi], x):
             transcript.write_scalar(s)
 
-    # 11. multiopen queries (prover.rs:792-846 order)
+    # 11. multiopen queries (prover.rs:792-846 order).
+    # Pre-slice column polys so each logical commitment is ONE array object
+    # (shplonk groups queries by object identity).
+    instance_polys = [instance_coeff[:, i, :]
+                      for i in range(cs.num_instance_columns)]
+    advice_polys = [advice_coeff[:, i, :]
+                    for i in range(cs.num_advice_columns)]
+    fixed_polys = [pk.fixed_coeff[:, i, :]
+                   for i in range(cs.num_fixed_columns)]
+    sigma_polys = [pk.permutation_pk.sigmas_coeff[:, i, :] for i in range(m)]
     x_next = domain.rotate_omega(x, 1)
     x_last = domain.rotate_omega(x, -(bf + 1))
     queries = []
     for column, rot in cs.instance_queries:
         queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
-                                   instance_coeff[:, column.index, :]))
+                                   instance_polys[column.index]))
     for column, rot in cs.advice_queries:
         queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
-                                   advice_coeff[:, column.index, :]))
+                                   advice_polys[column.index]))
     # permutation sets: z at x and wx; then z at w^last x for all but last
     for zc in zs_coeff_list:
         queries.append(ProverQuery(x, 0, zc))
@@ -293,13 +311,17 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
         queries.append(ProverQuery(x_next, 1, zc))
     for column, rot in cs.fixed_queries:
         queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
-                                   pk.fixed_coeff[:, column.index, :]))
+                                   fixed_polys[column.index]))
     for i in range(m):
-        queries.append(ProverQuery(x, 0, pk.permutation_pk.sigmas_coeff[:, i, :]))
+        queries.append(ProverQuery(x, 0, sigma_polys[i]))
     queries.append(ProverQuery(x, 0, h_poly))
     queries.append(ProverQuery(x, 0, vanishing.random_poly))
 
-    gwc.create_proof(params, transcript, queries)
+    if use_gwc:
+        gwc.create_proof(params, transcript, queries)
+    else:
+        from halo2_tpu.multiopen import shplonk
+        shplonk.create_proof(params, transcript, queries)
     return transcript.finalize()
 
 

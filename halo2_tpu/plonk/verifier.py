@@ -19,7 +19,8 @@ from halo2_tpu.transcript import Blake2bRead
 P = Fr.p
 
 
-def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
+def verify_proof(params_verifier, vk, instances, proof: bytes,
+                 use_gwc: bool = True) -> bool:
     cs = vk.cs
     domain = vk.domain
     n = params_verifier.n
@@ -212,6 +213,10 @@ def verify_proof(params_verifier, vk, instances, proof: bytes) -> bool:
     queries.append(VerifierQuery(x, 0, h_msm, expected_h_eval))
     queries.append(VerifierQuery(x, 0, random_commitment, random_eval))
 
-    pair = gwc.verify_proof(params_verifier, transcript, queries)
+    if use_gwc:
+        pair = gwc.verify_proof(params_verifier, transcript, queries)
+    else:
+        from halo2_tpu.multiopen import shplonk
+        pair = shplonk.verify_proof(params_verifier, transcript, queries)
     transcript.assert_exhausted()
     return decider_verify(params_verifier, pair)
