@@ -53,14 +53,18 @@ def int_to_limbs_np(x: int, n_limbs: int = N_LIMBS) -> np.ndarray:
 
 
 def ints_to_limbs_np(xs, n_limbs: int = N_LIMBS) -> np.ndarray:
-    """Iterable of ints -> (n_limbs, N) uint32."""
+    """Iterable of ints -> (n_limbs, N) uint32.
+
+    Fast path: pack via int.to_bytes + frombuffer (one C-level conversion
+    per element instead of n_limbs Python shifts)."""
     xs = list(xs)
-    out = np.empty((n_limbs, len(xs)), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(n_limbs):
-            out[i, j] = x & MASK
-            x >>= LIMB_BITS
-    return out
+    nbytes = 2 * n_limbs
+    try:
+        blob = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    except OverflowError:
+        raise ValueError("value does not fit in limbs") from None
+    arr = np.frombuffer(blob, dtype="<u2").reshape(len(xs), n_limbs)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
 
 
 def limbs_to_int(limbs: np.ndarray) -> int:
@@ -321,7 +325,16 @@ class Field:
         return (x * self.R_inv) % self.p
 
     def encode(self, xs) -> np.ndarray:
-        """Python ints (canonical) -> (16, N) uint32 Montgomery limbs."""
+        """Python ints (canonical) -> (16, N) uint32 Montgomery limbs.
+        Uses the native (C++) encoder when available (~4x)."""
+        xs = list(xs)
+        try:
+            from halo2_tpu import native
+            out = native.encode_mont_np(xs, self)
+            if out is not None:
+                return out
+        except Exception:
+            pass
         return ints_to_limbs_np([self.to_mont_int(x % self.p) for x in xs])
 
     def encode_scalar(self, x: int) -> np.ndarray:
@@ -329,7 +342,15 @@ class Field:
 
     def decode(self, limbs) -> list:
         """(16, N) Montgomery limbs -> list of canonical Python ints."""
-        return [self.from_mont_int(v) for v in limbs_to_ints(np.asarray(limbs))]
+        arr = np.asarray(limbs)
+        try:
+            from halo2_tpu import native
+            out = native.decode_mont_np(arr, self)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+        return [self.from_mont_int(v) for v in limbs_to_ints(arr)]
 
     def decode_scalar(self, limbs) -> int:
         return self.from_mont_int(limbs_to_int(np.asarray(limbs)))

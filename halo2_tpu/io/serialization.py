@@ -1,0 +1,143 @@
+"""Persistence: params / keys / witness to disk.
+
+The reference's L7 (SURVEY.md §2.17): `Params::write/read`
+(poly/commitment.rs:241-294 — reproduced byte-compatibly in
+poly/commitment.py), `CircuitData` {vkey, fixed, permutation}
+(plonk.rs:126-204), and the witness store/fetch mmap pipeline
+(helpers.rs:919-1014) that lets witness generation run on a cheap machine
+while proving runs on the accelerator box.
+
+TPU-native format choices: big arrays are stored as raw little-endian u32
+limb blocks inside numpy .npz containers (zero-copy mmap-able); the
+ConstraintSystem structure is rebuilt by re-running `configure` (the
+reference stores a custom CS wire format, helpers.rs:406-587 — here circuit
+code is the single source of truth and keys are validated against the vk
+hash instead)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.fields.bn254 import Fr
+
+
+# -- params ------------------------------------------------------------------
+
+def save_params(params, path: str) -> None:
+    with open(path, "wb") as fh:
+        params.write(fh)
+
+
+def load_params(path: str):
+    from halo2_tpu.poly.commitment import Params
+    with open(path, "rb") as fh:
+        return Params.read(fh)
+
+
+# -- circuit data (fixed + permutation assembly + vk identity) ---------------
+
+def save_circuit_data(pk, path: str, mapping: np.ndarray | None = None) -> None:
+    """Persist everything needed to rebuild a ProvingKey without re-running
+    keygen synthesis: fixed lagrange columns, sigma lagrange columns, and
+    the vk hash for integrity (plonk.rs CircuitData::write analogue)."""
+    np.savez(
+        path,
+        k=np.int64(pk.vk.k),
+        fixed_lagrange=np.asarray(pk.fixed_lagrange),
+        sigmas_lagrange=np.asarray(pk.permutation_pk.sigmas_lagrange),
+        vk_pinned_hash=np.frombuffer(
+            _vk_digest(pk.vk), dtype=np.uint8).copy(),
+    )
+
+
+def _vk_digest(vk) -> bytes:
+    import hashlib
+    return hashlib.blake2b(vk.pinned(), digest_size=32).digest()
+
+
+def load_circuit_data(params, circuit, path: str):
+    """Rebuild (vk, pk) from saved circuit data + the circuit's configure()
+    (keygen_pk_from_info analogue, keygen.rs:458-608). Skips synthesis and
+    permutation cycle construction entirely."""
+    from halo2_tpu.plonk.circuit import ConstraintSystem
+    from halo2_tpu.plonk.keygen import ProvingKey, VerifyingKey, _commit_columns_affine
+    from halo2_tpu.plonk import permutation as perm_mod
+    from halo2_tpu.poly.domain import EvaluationDomain
+    from halo2_tpu.fields.limbs import N_LIMBS
+
+    data = np.load(path)
+    cs = ConstraintSystem()
+    circuit.configure(cs)
+    cs.chunk_lookups()
+    cs.chunk_shuffles()
+    k = int(data["k"])
+    assert k == params.k
+    domain = EvaluationDomain(cs.degree(), k)
+
+    fixed_lagrange = jnp.asarray(data["fixed_lagrange"])
+    sig_lag = jnp.asarray(data["sigmas_lagrange"])
+
+    fixed_coeff = domain.ntt.inverse(fixed_lagrange) \
+        if fixed_lagrange.shape[1] else fixed_lagrange
+    fixed_commitments = _commit_columns_affine(params, fixed_lagrange)
+
+    m = sig_lag.shape[1]
+    sig_coeff = domain.ntt.inverse(sig_lag) if m else sig_lag
+    sig_ext = (jnp.stack([domain.coeff_to_extended_traced(sig_coeff[:, i, :])
+                          for i in range(m)], axis=1) if m
+               else jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32))
+    perm_commitments = _commit_columns_affine(params, sig_lag) if m else []
+
+    perm_vk = perm_mod.PermutationVk(perm_commitments)
+    perm_pk = perm_mod.PermutationPk(sig_lag, sig_coeff, sig_ext)
+    vk = VerifyingKey(domain, cs, fixed_commitments, perm_vk, k)
+    if _vk_digest(vk) != bytes(data["vk_pinned_hash"].tobytes()):
+        raise ValueError("circuit data does not match this circuit/params")
+
+    n = params.n
+    bf = cs.blinding_factors()
+    fixed_extended = (jnp.stack(
+        [domain.coeff_to_extended_traced(fixed_coeff[:, i, :])
+         for i in range(fixed_coeff.shape[1])], axis=1)
+        if fixed_coeff.shape[1]
+        else jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32))
+
+    def lag_ext(one_rows):
+        vals = [0] * n
+        for r in one_rows:
+            vals[r] = 1
+        lag = jnp.asarray(Fr.encode(vals))
+        return domain.coeff_to_extended_traced(domain.ntt.inverse(lag))
+
+    l0 = lag_ext([0])
+    l_last = lag_ext([n - (bf + 1)])
+    l_blind = lag_ext(range(n - bf, n))
+    one = Fr.broadcast_scalar(Fr.r_np, (domain.extended_n,))
+    l_active = Fr.sub(one, Fr.add(l_last, l_blind))
+
+    pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, fixed_extended, perm_pk,
+                    l0, l_last, l_active)
+    return vk, pk
+
+
+# -- witness store / fetch ---------------------------------------------------
+
+def save_witness(advice_cols: list, path: str) -> None:
+    """Store synthesized advice columns (host int lists) as Montgomery limb
+    arrays + per-column canonical bit bounds (helpers.rs store_witness
+    analogue; the bounds back the bounded-window MSM fast path)."""
+    arrs = np.stack([np.asarray(Fr.encode(col)) for col in advice_cols], axis=1) \
+        if advice_cols else np.zeros((16, 0, 0), np.uint32)
+    bits = np.asarray([max((v.bit_length() for v in col), default=1)
+                       for col in advice_cols], dtype=np.int64)
+    np.savez(path, advice=arrs, max_bits=bits)
+
+
+def load_witness(path: str):
+    """Returns ((16, C, n) device advice lagrange limbs, max_bits list)."""
+    data = np.load(path)
+    return jnp.asarray(data["advice"]), [int(b) for b in data["max_bits"]]

@@ -1,0 +1,87 @@
+"""Native (C++) runtime components: witness encoding, counting sort.
+
+Auto-builds the CPython extension on first import (g++ is part of the
+target environment); falls back to the pure-Python paths if unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import sysconfig
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _build() -> bool:
+    src = os.path.join(_HERE, "encoder.cpp")
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(_HERE, "_native" + suffix)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return True
+    include = sysconfig.get_paths()["include"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           f"-I{include}", src, "-o", out]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+_native = None
+if os.environ.get("HALO2_TPU_NO_NATIVE", "") != "1" and _build():
+    try:
+        import importlib
+        _native = importlib.import_module("halo2_tpu.native._native")
+    except ImportError:
+        _native = None
+
+
+def available() -> bool:
+    return _native is not None
+
+
+def encode_mont_np(values, field):
+    """List of canonical ints -> (16, N) uint32 Montgomery limbs (numpy),
+    via the native encoder; None if unavailable."""
+    if _native is None:
+        return None
+    import numpy as np
+    p = field.p
+    blob = b"".join((v % p).to_bytes(32, "little") for v in values)
+    out = _native.encode_mont(blob, _consts(field))
+    return np.frombuffer(out, dtype=np.uint32).reshape(16, len(values)).copy()
+
+
+def decode_mont_np(limbs, field):
+    """(16, N) uint32 Montgomery limbs -> list of canonical ints."""
+    if _native is None:
+        return None
+    import numpy as np
+    arr = np.ascontiguousarray(np.asarray(limbs), dtype=np.uint32)
+    n = arr.shape[1]
+    blob = _native.decode_mont(arr.tobytes(), _consts(field))
+    return [int.from_bytes(blob[i * 32:(i + 1) * 32], "little")
+            for i in range(n)]
+
+
+def counting_sort(values, mn: int, mx: int):
+    """Sorted list of ints in [mn, mx]; None if unavailable."""
+    if _native is None:
+        return None
+    import numpy as np
+    arr = np.asarray(values, dtype=np.uint32)
+    out = _native.counting_sort_u32(arr.tobytes(), mn, mx)
+    return np.frombuffer(out, dtype=np.uint32).tolist()
+
+
+def _consts(field):
+    mask = (1 << 64) - 1
+    p = field.p
+    pinv64 = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    r2 = field.R2
+    return tuple([(p >> (64 * i)) & mask for i in range(4)] +
+                 [pinv64] +
+                 [(r2 >> (64 * i)) & mask for i in range(4)])

@@ -313,6 +313,8 @@ class ConstraintSystem:
         self.shuffle_tracer: list = []       # flat shuffle units
         self.range_check: list = []          # RangeCheckRel entries
         self.constants: list[Column] = []
+        self.named_advices: list[int] = []   # advice column indices exempt
+                                             # from blinding (circuit.rs:1840)
         self.minimum_degree: int | None = None
 
     # -- column allocation -------------------------------------------------
@@ -320,6 +322,14 @@ class ConstraintSystem:
         c = Column(self.num_advice_columns, "advice")
         self.num_advice_columns += 1
         self.num_advice_queries.append(0)
+        return c
+
+    def named_advice_column(self, name: str) -> Column:
+        """Advice column exempt from blinding rows (the fork's API for
+        columns whose tail is structurally constrained,
+        circuit.rs:1840-1850)."""
+        c = self.advice_column()
+        self.named_advices.append(c.index)
         return c
 
     def fixed_column(self) -> Column:

@@ -91,10 +91,57 @@ def _commit_affine(params, values, max_bits=256, base="lagrange"):
     return g1.decode_points(jnp.stack(aff))[0]
 
 
+def synthesize_witness(pk, circuit, instances, floor_planner=None):
+    """Run witness synthesis + range-check fill only; returns (advice host
+    int columns, padded instance columns).  Backs the create_witness /
+    create_proof_from_witness split flow (prover.rs:895-1523)."""
+    cs = pk.vk.cs
+    n = 1 << pk.vk.k
+    usable_rows = cs.usable_rows(n)
+    instance_cols = []
+    for col in instances:
+        if len(col) > usable_rows:
+            raise ValueError("instance too large")
+        instance_cols.append(list(col) + [0] * (n - len(col)))
+    if len(instance_cols) != cs.num_instance_columns:
+        raise ValueError("wrong number of instance columns")
+    witness = WitnessCollection(cs, n, usable_rows, instance_cols)
+    planner = floor_planner or SimpleFloorPlanner
+    planner.synthesize(witness, circuit, witness_config(circuit, cs),
+                       cs.constants)
+    from halo2_tpu.plonk.range_check import fill_and_sort
+    for rel in cs.range_check:
+        fill_and_sort(witness.advice, rel, usable_rows,
+                      witness.max_assigned[rel.origin.index])
+    return witness.advice, instance_cols
+
+
+def create_witness(pk, circuit, instances, path: str, floor_planner=None):
+    """Synthesize and persist the witness (create_witness analogue)."""
+    from halo2_tpu.io.serialization import save_witness
+    advice, _ = synthesize_witness(pk, circuit, instances, floor_planner)
+    save_witness(advice, path)
+
+
+def create_proof_from_witness(params, pk, instances, path: str,
+                              seed: int | None = None,
+                              use_gwc: bool = True) -> bytes:
+    """Prove from a stored witness, skipping synthesis
+    (create_proof_from_witness analogue)."""
+    from halo2_tpu.io.serialization import load_witness
+    advice_arr, max_bits = load_witness(path)
+    return create_proof(params, pk, None, instances, seed=seed,
+                        use_gwc=use_gwc,
+                        witness_advice=(advice_arr, max_bits))
+
+
 def create_proof(params, pk, circuit, instances, seed: int | None = None,
-                 floor_planner=None, use_gwc: bool = True) -> bytes:
+                 floor_planner=None, use_gwc: bool = True,
+                 witness_advice=None) -> bytes:
     """Prove one circuit instance. instances: list of instance columns
-    (each a list of ints, length <= usable rows). Returns proof bytes."""
+    (each a list of ints, length <= usable rows). Returns proof bytes.
+    witness_advice: optional ((16, C, n) Montgomery lagrange array,
+    per-column max_bits) to skip synthesis."""
     vk = pk.vk
     cs = vk.cs
     domain = vk.domain
@@ -121,24 +168,41 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
         transcript.common_point(com)
 
     # 2. witness synthesis + advice commitments
-    witness = WitnessCollection(cs, n, usable_rows, instance_cols)
-    planner = floor_planner or SimpleFloorPlanner
-    planner.synthesize(witness, circuit, witness_config(circuit, cs), cs.constants)
-    # range-check columns: fill the tail sequence + counting sort
-    # (prover.rs:1699-1779)
-    from halo2_tpu.plonk.range_check import fill_and_sort
-    for rel in cs.range_check:
-        fill_and_sort(witness.advice, rel, usable_rows,
-                      witness.max_assigned[rel.origin.index])
-    # u16-random blinding rows (prover.rs:283-290)
-    for col in witness.advice:
-        for r in range(usable_rows, n):
-            col[r] = rng.randrange(1 << 16)
-    advice_lagrange = (
-        jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice], axis=1)
-        if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    if witness_advice is None:
+        witness = WitnessCollection(cs, n, usable_rows, instance_cols)
+        planner = floor_planner or SimpleFloorPlanner
+        planner.synthesize(witness, circuit, witness_config(circuit, cs),
+                           cs.constants)
+        # range-check columns: fill the tail sequence + counting sort
+        # (prover.rs:1699-1779)
+        from halo2_tpu.plonk.range_check import fill_and_sort
+        for rel in cs.range_check:
+            fill_and_sort(witness.advice, rel, usable_rows,
+                          witness.max_assigned[rel.origin.index])
+        # u16-random blinding rows (prover.rs:283-290); named advice
+        # columns are exempt (prover.rs:287)
+        for ci, col in enumerate(witness.advice):
+            if ci in cs.named_advices:
+                continue
+            for r in range(usable_rows, n):
+                col[r] = rng.randrange(1 << 16)
+        advice_lagrange = (
+            jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice], axis=1)
+            if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+        col_bits = [max((v.bit_length() for v in witness.advice[i]), default=1)
+                    for i in range(cs.num_advice_columns)]
+    else:
+        advice_lagrange, col_bits = witness_advice
+        # blinding rows for a stored witness (u16 randoms)
+        blinds = np.stack(
+            [np.asarray(Fr.encode([rng.randrange(1 << 16)
+                                   for _ in range(n - usable_rows)]))
+             for _ in range(cs.num_advice_columns)], axis=1)             if cs.num_advice_columns else np.zeros((N_LIMBS, 0, 0), np.uint32)
+        advice_lagrange = advice_lagrange.at[:, :, usable_rows:].set(
+            jnp.asarray(blinds))
+        col_bits = [max(b, 16) for b in col_bits]
     for i in range(cs.num_advice_columns):
-        max_bits = max((v.bit_length() for v in witness.advice[i]), default=1)
+        max_bits = col_bits[i]
         # quantize the bound so the MSM program cache hits (each distinct
         # window count is a separate compiled program)
         for tier in (16, 64, 128, 192, 256):

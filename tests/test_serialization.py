@@ -1,0 +1,74 @@
+"""Persistence: params roundtrip on disk, circuit-data pk rebuild, and the
+witness-split prove flow (create_witness / create_proof_from_witness)."""
+
+import os
+
+import pytest
+
+from halo2_tpu.io.serialization import (
+    load_circuit_data, load_params, save_circuit_data, save_params,
+)
+from halo2_tpu.plonk.keygen import keygen
+from halo2_tpu.plonk.prover import (
+    create_proof, create_proof_from_witness, create_witness,
+)
+from halo2_tpu.plonk.verifier import verify_proof
+from halo2_tpu.poly.commitment import Params
+from halo2_tpu.curves import g1
+from tests.test_e2e import K, SimpleCircuit, expected_out
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    params = Params.unsafe_setup(K, seed=7)
+    vk, pk = keygen(params, SimpleCircuit())
+    return params, vk, pk
+
+
+def test_params_file_roundtrip(setup, tmp_path):
+    params, _, _ = setup
+    path = tmp_path / "srs.params"
+    save_params(params, str(path))
+    back = load_params(str(path))
+    assert g1.decode_points(back.g) == g1.decode_points(params.g)
+    assert back.s_g2 == params.s_g2
+
+
+def test_circuit_data_rebuild(setup, tmp_path):
+    params, vk, pk = setup
+    path = tmp_path / "cd.npz"
+    save_circuit_data(pk, str(path))
+    vk2, pk2 = load_circuit_data(params, SimpleCircuit(), str(path))
+    # the rebuilt pk proves, and the original vk verifies the proof
+    out = expected_out(3, 5)
+    proof = create_proof(params, pk2, SimpleCircuit(3, 5), [[out]], seed=0)
+    pv = params.verifier(1)
+    assert verify_proof(pv, vk, [[out]], proof)
+
+
+def test_circuit_data_rejects_wrong_circuit(setup, tmp_path):
+    params, _, pk = setup
+    path = tmp_path / "cd.npz"
+    save_circuit_data(pk, str(path))
+
+    class Other(SimpleCircuit):
+        def configure(self, meta):
+            cfg = super().configure(meta)
+            meta.advice_column()  # extra column changes the pinned cs
+            return cfg
+
+    with pytest.raises(ValueError):
+        load_circuit_data(params, Other(), str(path))
+
+
+def test_witness_split_flow(setup, tmp_path):
+    params, vk, pk = setup
+    out = expected_out(4, 9)
+    wpath = str(tmp_path / "witness.npz")
+    create_witness(pk, SimpleCircuit(4, 9), [[out]], wpath)
+    proof = create_proof_from_witness(params, pk, [[out]], wpath, seed=5)
+    pv = params.verifier(1)
+    assert verify_proof(pv, vk, [[out]], proof)
+    # and it matches a direct proof with the same seed
+    direct = create_proof(params, pk, SimpleCircuit(4, 9), [[out]], seed=5)
+    assert proof == direct
