@@ -197,16 +197,38 @@ def _pick_lanes(n: int) -> int:
     return 1
 
 
-def msm(points, scalars_mont, max_bits: int = 256, lanes: int | None = None):
+_SORT_BLOCK = 2048
+
+
+def msm(points, scalars_mont, max_bits: int = 256, lanes: int | None = None,
+        force_scatter: bool = False):
     """points: (x, y) each (16, n) Montgomery affine (no identities);
     scalars_mont: (16, n) Montgomery Fr. Returns projective (X, Y, Z) limbs.
 
     max_bits bounds the scalar bit-length (bounded-window fast path,
     mirroring arithmetic.rs:334-440); the default covers full scalars.
+
+    Dispatch: sizes >= _SORT_BLOCK use the scatter-free sorted path
+    (msm/sorted.py — XLA TPU scatter serializes per element); small sizes
+    use the lane-private-bucket scatter path below.
     """
     px, py = points
     n = px.shape[1]
     num_windows = min((max_bits + C_BITS - 1) // C_BITS, 32)
+
+    if not force_scatter and n >= _SORT_BLOCK:
+        from halo2_tpu.msm.sorted import msm_sorted
+        if n % _SORT_BLOCK:
+            pad = _SORT_BLOCK - n % _SORT_BLOCK
+            px = jnp.concatenate(
+                [px, jnp.broadcast_to(px[:, :1], (N_LIMBS, pad))], 1)
+            py = jnp.concatenate(
+                [py, jnp.broadcast_to(py[:, :1], (N_LIMBS, pad))], 1)
+            scalars_mont = jnp.concatenate(
+                [scalars_mont, jnp.zeros((N_LIMBS, pad), jnp.uint32)], 1)
+        return msm_sorted((px, py), scalars_mont, max_bits=max_bits,
+                          block=_SORT_BLOCK)
+
     if lanes is None:
         lanes = _pick_lanes(n)
     if n % lanes:

@@ -54,3 +54,26 @@ def test_msm_single_point():
 @pytest.mark.slow
 def test_msm_larger():
     run_case(128, lanes=16)
+
+
+def test_msm_sorted_path():
+    """Scatter-free sorted MSM matches host, incl. degenerate digit
+    distributions (all-equal scalars)."""
+    from halo2_tpu.msm.sorted import msm_sorted
+    from halo2_tpu.curves import g1 as g1m
+    import jax.numpy as jnp
+
+    n = 4096
+    base = [host.random_point(rng) for _ in range(8)]
+    pts = [base[i % 8] for i in range(n)]
+    dev_pts = g1m.encode_points(pts)
+    # mixed scalars incl. a big all-ones stretch (degenerate buckets)
+    scalars = [1] * (n // 2) + [rng.randrange(1 << 16) for _ in range(n // 2)]
+    dev_scal = jnp.asarray(Fr.encode(scalars))
+    proj = msm_sorted((dev_pts[0], dev_pts[1]), dev_scal, max_bits=16,
+                      group=2, block=512)
+    aff = g1m.to_affine(tuple(c[:, None] for c in proj))
+    got = g1m.decode_points(jnp.stack(aff))[0]
+    # host expectation over multiset (sum over 8 distinct points)
+    expect = host.msm(pts, scalars)
+    assert got == expect
