@@ -1,4 +1,5 @@
 from halo2_tpu.multiopen.common import (
+    BatchVerifier,
     HostMSM,
     PairMSM,
     ProverQuery,

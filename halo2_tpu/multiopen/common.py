@@ -67,3 +67,30 @@ def decider_verify(params_verifier, pair: PairMSM) -> bool:
         (left, params_verifier.s_g2),
         (right, pairing.g2_neg(params_verifier.g2)),
     ])
+
+
+class BatchVerifier:
+    """Random-scaled accumulation of PairMSMs — ONE pairing check for many
+    proofs (plonk/verifier.rs:62-111 BatchVerifier strategy)."""
+
+    def __init__(self, seed: int | None = None):
+        import random
+        self._rng = random.Random(seed)
+        self.left = HostMSM()
+        self.right = HostMSM()
+        self.ok = True
+
+    def add(self, pair: PairMSM):
+        r = self._rng.randrange(1, P)
+        scaled_l = HostMSM()
+        scaled_l.add_msm(pair.left)
+        scaled_l.scale(r)
+        self.left.add_msm(scaled_l)
+        scaled_r = HostMSM()
+        scaled_r.add_msm(pair.right)
+        scaled_r.scale(r)
+        self.right.add_msm(scaled_r)
+
+    def finalize(self, params_verifier) -> bool:
+        return self.ok and decider_verify(
+            params_verifier, PairMSM(self.left, self.right))

@@ -20,7 +20,9 @@ P = Fr.p
 
 
 def verify_proof(params_verifier, vk, instances, proof: bytes,
-                 use_gwc: bool = True) -> bool:
+                 use_gwc: bool = True, strategy=None):
+    """strategy=None: immediate pairing check (SingleVerifier).
+    strategy=BatchVerifier: accumulate; call strategy.finalize() once."""
     cs = vk.cs
     domain = vk.domain
     n = params_verifier.n
@@ -219,4 +221,7 @@ def verify_proof(params_verifier, vk, instances, proof: bytes,
         from halo2_tpu.multiopen import shplonk
         pair = shplonk.verify_proof(params_verifier, transcript, queries)
     transcript.assert_exhausted()
+    if strategy is not None:
+        strategy.add(pair)
+        return True
     return decider_verify(params_verifier, pair)

@@ -172,3 +172,23 @@ def test_unsatisfied_witness_fails(setup):
     proof = create_proof(params, pk, Cheat(3, 5), [[5]], seed=0)
     pv = params.verifier(1)
     assert not verify_proof(pv, vk, [[5]], proof)
+
+
+def test_batch_verifier(setup):
+    from halo2_tpu.multiopen import BatchVerifier
+    params, vk, pk = setup
+    pv = params.verifier(1)
+    proofs = []
+    for seed, (a, b) in enumerate([(3, 5), (2, 9)]):
+        out = expected_out(a, b)
+        proofs.append((out, create_proof(params, pk, SimpleCircuit(a, b),
+                                         [[out]], seed=seed)))
+    batch = BatchVerifier(seed=7)
+    for out, proof in proofs:
+        verify_proof(pv, vk, [[out]], proof, strategy=batch)
+    assert batch.finalize(pv)
+    # a bad proof in the batch must fail the single pairing
+    batch2 = BatchVerifier(seed=7)
+    verify_proof(pv, vk, [[proofs[0][0]]], proofs[0][1], strategy=batch2)
+    verify_proof(pv, vk, [[proofs[1][0] + 1]], proofs[1][1], strategy=batch2)
+    assert not batch2.finalize(pv)
