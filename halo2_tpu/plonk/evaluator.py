@@ -54,7 +54,7 @@ class Evaluator:
     # ------------------------------------------------------------------
     def _build(self, advice_coeff, instance_coeff, perm_zs_coeff,
                lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
-               theta, beta, gamma, y):
+               theta, beta, gamma, y, value_init):
         pk = self.pk
         cs = pk.vk.cs
         domain = pk.vk.domain
@@ -91,7 +91,7 @@ class Evaluator:
             return jnp.roll(a, (bf + 1) * self.rot_scale, axis=-1)
 
         ymul = lambda v, t: F.add(F.mul(v, y[:, None]), t)  # noqa: E731
-        value = jnp.zeros((N_LIMBS, ext_n), jnp.uint32)
+        value = value_init
         one = F.broadcast_scalar(Fr.r_np, (ext_n,))
         l0 = pk.l0_extended
         l_last = pk.l_last_extended
@@ -208,13 +208,19 @@ class Evaluator:
     # ------------------------------------------------------------------
     def evaluate_h(self, advice_coeff, instance_coeff, perm_zs_coeff,
                    lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
-                   theta: int, beta: int, gamma: int, y: int):
-        """Returns h numerator on the extended coset (16, ext_n)."""
+                   theta: int, beta: int, gamma: int, y: int,
+                   value_init=None):
+        """Returns h numerator on the extended coset (16, ext_n).
+        value_init chains the y-fold across multiple circuit instances
+        (batch proofs: proof i+1 continues from proof i's fold)."""
         if self._jit is None:
             self._jit = jax.jit(self._build)
+        if value_init is None:
+            value_init = jnp.zeros(
+                (N_LIMBS, self.pk.vk.domain.extended_n), jnp.uint32)
         return self._jit(advice_coeff, instance_coeff, perm_zs_coeff,
                          lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
                          jnp.asarray(Fr.encode_scalar(theta)),
                          jnp.asarray(Fr.encode_scalar(beta)),
                          jnp.asarray(Fr.encode_scalar(gamma)),
-                         jnp.asarray(Fr.encode_scalar(y)))
+                         jnp.asarray(Fr.encode_scalar(y)), value_init)

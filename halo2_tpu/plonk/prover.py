@@ -142,6 +142,19 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     (each a list of ints, length <= usable rows). Returns proof bytes.
     witness_advice: optional ((16, C, n) Montgomery lagrange array,
     per-column max_bits) to skip synthesis."""
+    return create_proof_multi(
+        params, pk, [circuit], [instances], seed=seed,
+        floor_planner=floor_planner, use_gwc=use_gwc,
+        witness_advice=[witness_advice] if witness_advice is not None else None)
+
+
+def create_proof_multi(params, pk, circuits, instances_list,
+                       seed: int | None = None, floor_planner=None,
+                       use_gwc: bool = True, witness_advice=None) -> bytes:
+    """Prove SEVERAL instances of one circuit family in a single proof
+    (the reference's create_proof over &[ConcreteCircuit],
+    prover.rs:206-850).  All per-proof commitments/evals interleave in the
+    reference transcript order; the h fold chains across proofs."""
     vk = pk.vk
     cs = vk.cs
     domain = vk.domain
@@ -150,152 +163,178 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     usable_rows = cs.usable_rows(n)
     rng = random.Random(seed)
     transcript = Blake2bWrite()
+    num_proofs = len(circuits)
+    m = len(cs.permutation.columns)
 
-    # 1. vk hash + instances
+    # 1. vk hash + instance commitments (absorbed as common points)
     vk.hash_into(transcript)
-    instance_cols = []
-    for col in instances:
-        if len(col) > usable_rows:
-            raise ValueError("instance too large")
-        instance_cols.append(list(col) + [0] * (n - len(col)))
-    if len(instance_cols) != cs.num_instance_columns:
-        raise ValueError("wrong number of instance columns")
-    instance_lagrange = (
-        jnp.stack([jnp.asarray(Fr.encode(c)) for c in instance_cols], axis=1)
-        if instance_cols else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-    for i in range(cs.num_instance_columns):
-        com = _commit_affine(params, instance_lagrange[:, i, :])
-        transcript.common_point(com)
+    instance_cols_list = []
+    instance_lagranges = []
+    for instances in instances_list:
+        cols = []
+        for col in instances:
+            if len(col) > usable_rows:
+                raise ValueError("instance too large")
+            cols.append(list(col) + [0] * (n - len(col)))
+        if len(cols) != cs.num_instance_columns:
+            raise ValueError("wrong number of instance columns")
+        instance_cols_list.append(cols)
+        lag = (jnp.stack([jnp.asarray(Fr.encode(c)) for c in cols], axis=1)
+               if cols else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+        instance_lagranges.append(lag)
+    for p_i in range(num_proofs):
+        for i in range(cs.num_instance_columns):
+            transcript.common_point(
+                _commit_affine(params, instance_lagranges[p_i][:, i, :]))
 
-    # 2. witness synthesis + advice commitments
-    if witness_advice is None:
-        witness = WitnessCollection(cs, n, usable_rows, instance_cols)
-        planner = floor_planner or SimpleFloorPlanner
-        planner.synthesize(witness, circuit, witness_config(circuit, cs),
-                           cs.constants)
-        # range-check columns: fill the tail sequence + counting sort
-        # (prover.rs:1699-1779)
-        from halo2_tpu.plonk.range_check import fill_and_sort
-        for rel in cs.range_check:
-            fill_and_sort(witness.advice, rel, usable_rows,
-                          witness.max_assigned[rel.origin.index])
-        # u16-random blinding rows (prover.rs:283-290); named advice
-        # columns are exempt (prover.rs:287)
-        for ci, col in enumerate(witness.advice):
-            if ci in cs.named_advices:
-                continue
-            for r in range(usable_rows, n):
-                col[r] = rng.randrange(1 << 16)
-        advice_lagrange = (
-            jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice], axis=1)
-            if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-        col_bits = [max((v.bit_length() for v in witness.advice[i]), default=1)
-                    for i in range(cs.num_advice_columns)]
-    else:
-        advice_lagrange, col_bits = witness_advice
-        # blinding rows for a stored witness (u16 randoms)
-        blinds = np.stack(
-            [np.asarray(Fr.encode([rng.randrange(1 << 16)
-                                   for _ in range(n - usable_rows)]))
-             for _ in range(cs.num_advice_columns)], axis=1)             if cs.num_advice_columns else np.zeros((N_LIMBS, 0, 0), np.uint32)
-        advice_lagrange = advice_lagrange.at[:, :, usable_rows:].set(
-            jnp.asarray(blinds))
-        col_bits = [max(b, 16) for b in col_bits]
-    for i in range(cs.num_advice_columns):
-        max_bits = col_bits[i]
-        # quantize the bound so the MSM program cache hits (each distinct
-        # window count is a separate compiled program)
-        for tier in (16, 64, 128, 192, 256):
-            if max_bits <= tier:
-                max_bits = tier
-                break
-        com = _commit_affine(params, advice_lagrange[:, i, :],
-                             max_bits=max_bits)
-        transcript.write_point(com)
+    # 2. witness synthesis + advice commitments (per proof)
+    advice_lagranges = []
+    for p_i in range(num_proofs):
+        wa = witness_advice[p_i] if witness_advice is not None else None
+        if wa is None:
+            witness = WitnessCollection(cs, n, usable_rows,
+                                        instance_cols_list[p_i])
+            planner = floor_planner or SimpleFloorPlanner
+            planner.synthesize(witness, circuits[p_i],
+                               witness_config(circuits[p_i], cs), cs.constants)
+            # range-check fill + counting sort (prover.rs:1699-1779)
+            from halo2_tpu.plonk.range_check import fill_and_sort
+            for rel in cs.range_check:
+                fill_and_sort(witness.advice, rel, usable_rows,
+                              witness.max_assigned[rel.origin.index])
+            # u16 blinding rows (prover.rs:283-290); named advice exempt
+            for ci, col in enumerate(witness.advice):
+                if ci in cs.named_advices:
+                    continue
+                for r in range(usable_rows, n):
+                    col[r] = rng.randrange(1 << 16)
+            advice_lagrange = (
+                jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice],
+                          axis=1)
+                if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+            col_bits = [max((v.bit_length() for v in witness.advice[i]),
+                            default=1)
+                        for i in range(cs.num_advice_columns)]
+        else:
+            advice_lagrange, col_bits = wa
+            blinds = np.stack(
+                [np.asarray(Fr.encode([rng.randrange(1 << 16)
+                                       for _ in range(n - usable_rows)]))
+                 for _ in range(cs.num_advice_columns)], axis=1) \
+                if cs.num_advice_columns else np.zeros((N_LIMBS, 0, 0), np.uint32)
+            advice_lagrange = advice_lagrange.at[:, :, usable_rows:].set(
+                jnp.asarray(blinds))
+            col_bits = [max(b, 16) for b in col_bits]
+        for i in range(cs.num_advice_columns):
+            max_bits = col_bits[i]
+            # quantized bound so the MSM program cache hits
+            for tier in (16, 64, 128, 192, 256):
+                if max_bits <= tier:
+                    max_bits = tier
+                    break
+            transcript.write_point(_commit_affine(
+                params, advice_lagrange[:, i, :], max_bits=max_bits))
+        advice_lagranges.append(advice_lagrange)
 
-    # 3. theta; lookup compression + m(X) commitments
+    # 3. theta; per proof: lookup compression + m(X) commitments
     theta = transcript.squeeze_challenge()
     theta_l = jnp.asarray(Fr.encode_scalar(theta))
-    fixed_lagrange = pk.fixed_lagrange
-    lag_ctx = ExprCtx(advice_lagrange, fixed_lagrange, instance_lagrange,
-                      rot_scale=1, length=n)
-    lookup_data = []  # (table, input_sets, m_lagrange)
-    for lookup in cs.lookups:
-        table, input_sets = logup_prover.compress(lookup, lag_ctx, theta_l)
-        flat_inputs = [c for s in input_sets for c in s]
-        m_lag, m_bits = logup_prover.multiplicities(
-            table, flat_inputs, usable_rows, rng, bf)
-        for tier in (16, 64, 128, 192, 256):
-            if m_bits <= tier:
-                m_bits = tier
-                break
-        m_com = _commit_affine(params, m_lag, max_bits=m_bits)
-        transcript.write_point(m_com)
-        lookup_data.append((table, input_sets, m_lag))
+    lag_ctxs = [ExprCtx(advice_lagranges[p_i], pk.fixed_lagrange,
+                        instance_lagranges[p_i], rot_scale=1, length=n)
+                for p_i in range(num_proofs)]
+    lookup_data = [[] for _ in range(num_proofs)]
+    for p_i in range(num_proofs):
+        for lookup in cs.lookups:
+            table, input_sets = logup_prover.compress(
+                lookup, lag_ctxs[p_i], theta_l)
+            flat_inputs = [c for s in input_sets for c in s]
+            m_lag, m_bits = logup_prover.multiplicities(
+                table, flat_inputs, usable_rows, rng, bf)
+            for tier in (16, 64, 128, 192, 256):
+                if m_bits <= tier:
+                    m_bits = tier
+                    break
+            transcript.write_point(
+                _commit_affine(params, m_lag, max_bits=m_bits))
+            lookup_data[p_i].append((table, input_sets, m_lag))
 
-    # 4. shuffle compression; beta, gamma
-    shuffle_data = [shuffle_prover.compress(group, lag_ctx, theta_l)
-                    for group in cs.shuffles]
+    # 4. per proof shuffle compression; beta, gamma
+    shuffle_data = [[shuffle_prover.compress(group, lag_ctxs[p_i], theta_l)
+                     for group in cs.shuffles] for p_i in range(num_proofs)]
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
-    # 5. permutation z commits
-    def value_col(column):
-        if column.ctype == "advice":
-            return advice_lagrange[:, column.index, :]
-        if column.ctype == "fixed":
-            return pk.fixed_lagrange[:, column.index, :]
-        return instance_lagrange[:, column.index, :]
+    # 5. permutation z commits (per proof), then lookup zs, then shuffle zs
+    perm_zs_list = []
+    for p_i in range(num_proofs):
+        def value_col(column, p_i=p_i):
+            if column.ctype == "advice":
+                return advice_lagranges[p_i][:, column.index, :]
+            if column.ctype == "fixed":
+                return pk.fixed_lagrange[:, column.index, :]
+            return instance_lagranges[p_i][:, column.index, :]
 
-    zs, z_commitments = perm_mod.commit_z_polys(
-        params, domain, cs, pk.permutation_pk, value_col, beta, gamma, rng)
-    for com in z_commitments:
-        transcript.write_point(com)
+        zs, z_commitments = perm_mod.commit_z_polys(
+            params, domain, cs, pk.permutation_pk, value_col, beta, gamma, rng)
+        for com in z_commitments:
+            transcript.write_point(com)
+        perm_zs_list.append(zs)
 
-    # 5b. lookup grand sums, then shuffle grand products
-    lookup_zs = []  # list per lookup of z lagrange columns
-    for table, input_sets, m_lag in lookup_data:
-        zset = logup_prover.commit_zs(domain, cs, table, input_sets, m_lag,
-                                      beta, rng)
-        for z in zset:
+    lookup_zs_list = [[] for _ in range(num_proofs)]
+    for p_i in range(num_proofs):
+        for table, input_sets, m_lag in lookup_data[p_i]:
+            zset = logup_prover.commit_zs(domain, cs, table, input_sets,
+                                          m_lag, beta, rng)
+            for z in zset:
+                transcript.write_point(_commit_affine(params, z))
+            lookup_zs_list[p_i].append(zset)
+
+    shuffle_zs_list = [[] for _ in range(num_proofs)]
+    for p_i in range(num_proofs):
+        for input_cols, shuffle_cols in shuffle_data[p_i]:
+            z = shuffle_prover.commit_product(domain, cs, input_cols,
+                                              shuffle_cols, beta, rng)
             transcript.write_point(_commit_affine(params, z))
-        lookup_zs.append(zset)
-    shuffle_zs = []
-    for input_cols, shuffle_cols in shuffle_data:
-        z = shuffle_prover.commit_product(domain, cs, input_cols, shuffle_cols,
-                                          beta, rng)
-        transcript.write_point(_commit_affine(params, z))
-        shuffle_zs.append(z)
+            shuffle_zs_list[p_i].append(z)
 
     # 6. vanishing random poly -> y
     vanishing = VanishingProver(params, domain, rng)
     transcript.write_point(vanishing.random_commitment)
     y = transcript.squeeze_challenge()
 
-    # 7. coeff forms
-    advice_coeff = domain.ntt.inverse(advice_lagrange) \
-        if cs.num_advice_columns else advice_lagrange
-    instance_coeff = domain.ntt.inverse(instance_lagrange) \
-        if cs.num_instance_columns else instance_lagrange
-    zs_coeff_list = [domain.ntt.inverse(z) for z in zs]
-    zs_coeff = (jnp.stack(zs_coeff_list, axis=1) if zs_coeff_list
-                else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-    lookup_m_coeffs = [domain.ntt.inverse(m) for _, _, m in lookup_data]
-    lookup_ms_coeff = (jnp.stack(lookup_m_coeffs, axis=1) if lookup_m_coeffs
-                       else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-    lookup_z_coeffs = [[domain.ntt.inverse(z) for z in zset]
-                       for zset in lookup_zs]
-    flat_lookup_z = [z for zset in lookup_z_coeffs for z in zset]
-    lookup_zs_coeff = (jnp.stack(flat_lookup_z, axis=1) if flat_lookup_z
-                       else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-    shuffle_z_coeffs = [domain.ntt.inverse(z) for z in shuffle_zs]
-    shuffle_zs_coeff = (jnp.stack(shuffle_z_coeffs, axis=1) if shuffle_z_coeffs
-                        else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+    # 7. coeff forms (per proof)
+    def inv_or_empty(arr, count):
+        return domain.ntt.inverse(arr) if count else arr
 
-    # 8. h evaluation
-    h_ext = pk.ev.evaluate_h(advice_coeff, instance_coeff, zs_coeff,
-                             lookup_ms_coeff, lookup_zs_coeff,
-                             shuffle_zs_coeff, theta, beta, gamma, y)
+    advice_coeffs = [inv_or_empty(a, cs.num_advice_columns)
+                     for a in advice_lagranges]
+    instance_coeffs = [inv_or_empty(a, cs.num_instance_columns)
+                       for a in instance_lagranges]
+    perm_z_coeffs = [[domain.ntt.inverse(z) for z in zs]
+                     for zs in perm_zs_list]
+    lookup_m_coeffs = [[domain.ntt.inverse(ml) for _, _, ml in lookup_data[p_i]]
+                       for p_i in range(num_proofs)]
+    lookup_z_coeffs = [[[domain.ntt.inverse(z) for z in zset]
+                        for zset in lookup_zs_list[p_i]]
+                       for p_i in range(num_proofs)]
+    shuffle_z_coeffs = [[domain.ntt.inverse(z) for z in shuffle_zs_list[p_i]]
+                        for p_i in range(num_proofs)]
+
+    def stack_or_empty(lst):
+        return (jnp.stack(lst, axis=1) if lst
+                else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+
+    # 8. h evaluation — fold chains across proofs (evaluation.rs:900-1000)
+    h_ext = None
+    for p_i in range(num_proofs):
+        flat_lz = [z for zset in lookup_z_coeffs[p_i] for z in zset]
+        h_ext = pk.ev.evaluate_h(
+            advice_coeffs[p_i], instance_coeffs[p_i],
+            stack_or_empty(perm_z_coeffs[p_i]),
+            stack_or_empty(lookup_m_coeffs[p_i]),
+            stack_or_empty(flat_lz),
+            stack_or_empty(shuffle_z_coeffs[p_i]),
+            theta, beta, gamma, y, value_init=h_ext)
 
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
@@ -304,75 +343,76 @@ def create_proof(params, pk, circuit, instances, seed: int | None = None,
     x = transcript.squeeze_challenge()
     xn = pow(x, n, P)
 
-    # 10. evals
-    for column, rot in cs.instance_queries:
-        transcript.write_scalar(eval_poly(instance_coeff[:, column.index, :],
-                                          domain.rotate_omega(x, rot)))
-    for column, rot in cs.advice_queries:
-        transcript.write_scalar(eval_poly(advice_coeff[:, column.index, :],
-                                          domain.rotate_omega(x, rot)))
+    # 10. evals (verifier read order, verifier.rs:246-290)
+    for p_i in range(num_proofs):
+        for column, rot in cs.instance_queries:
+            transcript.write_scalar(eval_poly(
+                instance_coeffs[p_i][:, column.index, :],
+                domain.rotate_omega(x, rot)))
+    for p_i in range(num_proofs):
+        for column, rot in cs.advice_queries:
+            transcript.write_scalar(eval_poly(
+                advice_coeffs[p_i][:, column.index, :],
+                domain.rotate_omega(x, rot)))
     for column, rot in cs.fixed_queries:
         transcript.write_scalar(eval_poly(pk.fixed_coeff[:, column.index, :],
                                           domain.rotate_omega(x, rot)))
     h_poly, random_eval = vanishing.evaluate(h_pieces, x, xn)
     transcript.write_scalar(random_eval)
-    # permutation common (sigma) evals
-    m = len(cs.permutation.columns)
     for i in range(m):
         transcript.write_scalar(
             eval_poly(pk.permutation_pk.sigmas_coeff[:, i, :], x))
-    # permutation set evals
-    for s in perm_mod.evaluate_sets(domain, cs, zs_coeff_list, x):
-        transcript.write_scalar(s)
-    # lookup evals (m, then per-z x / wx / [w^last x])
-    for li in range(len(cs.lookups)):
-        for s in logup_prover.evaluate(domain, cs, lookup_m_coeffs[li],
-                                       lookup_z_coeffs[li], x):
+    for p_i in range(num_proofs):
+        for s in perm_mod.evaluate_sets(domain, cs, perm_z_coeffs[p_i], x):
             transcript.write_scalar(s)
-    # shuffle evals (z at x, wx)
-    for gi in range(len(cs.shuffles)):
-        for s in shuffle_prover.evaluate(domain, shuffle_z_coeffs[gi], x):
-            transcript.write_scalar(s)
+    for p_i in range(num_proofs):
+        for li in range(len(cs.lookups)):
+            for s in logup_prover.evaluate(domain, cs,
+                                           lookup_m_coeffs[p_i][li],
+                                           lookup_z_coeffs[p_i][li], x):
+                transcript.write_scalar(s)
+    for p_i in range(num_proofs):
+        for gi in range(len(cs.shuffles)):
+            for s in shuffle_prover.evaluate(domain,
+                                             shuffle_z_coeffs[p_i][gi], x):
+                transcript.write_scalar(s)
 
-    # 11. multiopen queries (prover.rs:792-846 order).
-    # Pre-slice column polys so each logical commitment is ONE array object
-    # (shplonk groups queries by object identity).
-    instance_polys = [instance_coeff[:, i, :]
-                      for i in range(cs.num_instance_columns)]
-    advice_polys = [advice_coeff[:, i, :]
-                    for i in range(cs.num_advice_columns)]
+    # 11. multiopen queries (prover.rs:792-846: per-proof sections, then
+    # shared fixed / permutation-common / vanishing). Pre-sliced so each
+    # logical commitment is ONE array object (shplonk identity grouping).
     fixed_polys = [pk.fixed_coeff[:, i, :]
                    for i in range(cs.num_fixed_columns)]
     sigma_polys = [pk.permutation_pk.sigmas_coeff[:, i, :] for i in range(m)]
     x_next = domain.rotate_omega(x, 1)
     x_last = domain.rotate_omega(x, -(bf + 1))
     queries = []
-    for column, rot in cs.instance_queries:
-        queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
-                                   instance_polys[column.index]))
-    for column, rot in cs.advice_queries:
-        queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
-                                   advice_polys[column.index]))
-    # permutation sets: z at x and wx; then z at w^last x for all but last
-    for zc in zs_coeff_list:
-        queries.append(ProverQuery(x, 0, zc))
-        queries.append(ProverQuery(x_next, 1, zc))
-    # x_last openings for all but the last set, in REVERSE set order
-    # (permutation/prover.rs open(): .rev().skip(1))
-    for zc in reversed(zs_coeff_list[:-1]):
-        queries.append(ProverQuery(x_last, -(bf + 1), zc))
-    # lookups open (logup/prover.rs:449-496): m; z's at x,wx; rev-skip-1 last
-    for li in range(len(cs.lookups)):
-        queries.append(ProverQuery(x, 0, lookup_m_coeffs[li]))
-        for zc in lookup_z_coeffs[li]:
+    for p_i in range(num_proofs):
+        instance_polys = [instance_coeffs[p_i][:, i, :]
+                          for i in range(cs.num_instance_columns)]
+        advice_polys = [advice_coeffs[p_i][:, i, :]
+                        for i in range(cs.num_advice_columns)]
+        for column, rot in cs.instance_queries:
+            queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
+                                       instance_polys[column.index]))
+        for column, rot in cs.advice_queries:
+            queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
+                                       advice_polys[column.index]))
+        zs_c = perm_z_coeffs[p_i]
+        for zc in zs_c:
             queries.append(ProverQuery(x, 0, zc))
             queries.append(ProverQuery(x_next, 1, zc))
-        for zc in reversed(lookup_z_coeffs[li][:-1]):
+        for zc in reversed(zs_c[:-1]):
             queries.append(ProverQuery(x_last, -(bf + 1), zc))
-    # shuffles open: z at x, wx
-    for zc in shuffle_z_coeffs:
-        queries.append(ProverQuery(x, 0, zc))
-        queries.append(ProverQuery(x_next, 1, zc))
+        for li in range(len(cs.lookups)):
+            queries.append(ProverQuery(x, 0, lookup_m_coeffs[p_i][li]))
+            for zc in lookup_z_coeffs[p_i][li]:
+                queries.append(ProverQuery(x, 0, zc))
+                queries.append(ProverQuery(x_next, 1, zc))
+            for zc in reversed(lookup_z_coeffs[p_i][li][:-1]):
+                queries.append(ProverQuery(x_last, -(bf + 1), zc))
+        for zc in shuffle_z_coeffs[p_i]:
+            queries.append(ProverQuery(x, 0, zc))
+            queries.append(ProverQuery(x_next, 1, zc))
     for column, rot in cs.fixed_queries:
         queries.append(ProverQuery(domain.rotate_omega(x, rot), rot,
                                    fixed_polys[column.index]))

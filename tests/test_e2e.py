@@ -192,3 +192,19 @@ def test_batch_verifier(setup):
     verify_proof(pv, vk, [[proofs[0][0]]], proofs[0][1], strategy=batch2)
     verify_proof(pv, vk, [[proofs[1][0] + 1]], proofs[1][1], strategy=batch2)
     assert not batch2.finalize(pv)
+
+
+def test_multi_instance_proof(setup):
+    """Batch proving: two circuit instances in ONE proof (the reference's
+    create_proof over &[ConcreteCircuit])."""
+    from halo2_tpu.plonk.prover import create_proof_multi
+    from halo2_tpu.plonk.verifier import verify_proof_multi
+    params, vk, pk = setup
+    outs = [expected_out(3, 5), expected_out(2, 9)]
+    proof = create_proof_multi(
+        params, pk, [SimpleCircuit(3, 5), SimpleCircuit(2, 9)],
+        [[[outs[0]]], [[outs[1]]]], seed=11)
+    pv = params.verifier(1)
+    assert verify_proof_multi(pv, vk, [[[outs[0]]], [[outs[1]]]], proof)
+    # swapped instances must fail
+    assert not verify_proof_multi(pv, vk, [[[outs[1]]], [[outs[0]]]], proof)
