@@ -21,8 +21,11 @@ from halo2_tpu.plonk.expr_eval import ExprCtx, compress_exprs
 from halo2_tpu.poly.arith import eval_poly, prefix_sum
 from halo2_tpu.utils.jitutil import maybe_jit
 
+import os
+
 F = Fr.raw
 P = Fr.p
+_SANITY = os.environ.get("HALO2_TPU_SANITY_CHECKS", "") == "1"
 
 
 def compress(argument, lag_ctx: ExprCtx, theta):
@@ -117,6 +120,11 @@ def commit_zs(domain, cs, table, input_sets, m_lagrange, beta: int, rng):
         blinds = [rng.randrange(P) for _ in range(bf)]
         z = z.at[:, n - bf:].set(jnp.asarray(Fr.encode(blinds)))
         zs.append(z)
+    if _SANITY:
+        # grand sum must telescope to zero across all sets
+        # (logup/prover.rs:348-412 sanity-checks feature)
+        final = Fr.decode_scalar(np.asarray(last_z))
+        assert final == 0, f"logup grand sum != 0: {final}"
     return zs
 
 

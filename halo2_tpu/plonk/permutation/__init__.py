@@ -15,6 +15,7 @@ for bn256 Fr (used for the distinct-coset shifts delta^j).
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass
 
@@ -215,6 +216,10 @@ def commit_z_polys(params, domain, cs, pkey: PermutationPk, value_cols,
         proj = msm((params.g_lagrange[0], params.g_lagrange[1]), z)
         aff = g1.to_affine(tuple(c[:, None] for c in proj))
         commitments.append(g1.decode_points(jnp.stack(aff))[0])
+    if os.environ.get("HALO2_TPU_SANITY_CHECKS", "") == "1" and zs:
+        # the chained grand product must close to 1
+        final = Fr.decode_scalar(np.asarray(last_z))
+        assert final == 1, f"permutation grand product != 1: {final}"
     return zs, commitments
 
 

@@ -42,6 +42,7 @@ from halo2_tpu.plonk.expr_eval import ExprCtx
 from halo2_tpu.plonk.vanishing import VanishingProver
 from halo2_tpu.poly.arith import eval_poly
 from halo2_tpu.transcript import Blake2bWrite
+from halo2_tpu.utils.profiling import phase_marker
 
 P = Fr.p
 
@@ -166,6 +167,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
     num_proofs = len(circuits)
     m = len(cs.permutation.columns)
 
+    _pm = phase_marker()
     # 1. vk hash + instance commitments (absorbed as common points)
     vk.hash_into(transcript)
     instance_cols_list = []
@@ -187,6 +189,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
             transcript.common_point(
                 _commit_affine(params, instance_lagranges[p_i][:, i, :]))
 
+    _pm("instances")
     # 2. witness synthesis + advice commitments (per proof)
     advice_lagranges = []
     for p_i in range(num_proofs):
@@ -236,6 +239,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
                 params, advice_lagrange[:, i, :], max_bits=max_bits))
         advice_lagranges.append(advice_lagrange)
 
+    _pm("advice synth+commit")
     # 3. theta; per proof: lookup compression + m(X) commitments
     theta = transcript.squeeze_challenge()
     theta_l = jnp.asarray(Fr.encode_scalar(theta))
@@ -258,12 +262,14 @@ def create_proof_multi(params, pk, circuits, instances_list,
                 _commit_affine(params, m_lag, max_bits=m_bits))
             lookup_data[p_i].append((table, input_sets, m_lag))
 
+    _pm("lookup compress+m")
     # 4. per proof shuffle compression; beta, gamma
     shuffle_data = [[shuffle_prover.compress(group, lag_ctxs[p_i], theta_l)
                      for group in cs.shuffles] for p_i in range(num_proofs)]
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
+    _pm("shuffle compress")
     # 5. permutation z commits (per proof), then lookup zs, then shuffle zs
     perm_zs_list = []
     for p_i in range(num_proofs):
@@ -297,11 +303,13 @@ def create_proof_multi(params, pk, circuits, instances_list,
             transcript.write_point(_commit_affine(params, z))
             shuffle_zs_list[p_i].append(z)
 
+    _pm("grand products/sums")
     # 6. vanishing random poly -> y
     vanishing = VanishingProver(params, domain, rng)
     transcript.write_point(vanishing.random_commitment)
     y = transcript.squeeze_challenge()
 
+    _pm("vanishing commit")
     # 7. coeff forms (per proof)
     def inv_or_empty(arr, count):
         return domain.ntt.inverse(arr) if count else arr
@@ -324,6 +332,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
         return (jnp.stack(lst, axis=1) if lst
                 else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
+    _pm("iNTTs")
     # 8. h evaluation — fold chains across proofs (evaluation.rs:900-1000)
     h_ext = None
     for p_i in range(num_proofs):
@@ -336,6 +345,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
             stack_or_empty(shuffle_z_coeffs[p_i]),
             theta, beta, gamma, y, value_init=h_ext)
 
+    _pm("evaluate_h")
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
     for com in h_commitments:
@@ -343,6 +353,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
     x = transcript.squeeze_challenge()
     xn = pow(x, n, P)
 
+    _pm("h split+commit")
     # 10. evals (verifier read order, verifier.rs:246-290)
     for p_i in range(num_proofs):
         for column, rot in cs.instance_queries:
@@ -377,6 +388,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
                                              shuffle_z_coeffs[p_i][gi], x):
                 transcript.write_scalar(s)
 
+    _pm("evals")
     # 11. multiopen queries (prover.rs:792-846: per-proof sections, then
     # shared fixed / permutation-common / vanishing). Pre-sliced so each
     # logical commitment is ONE array object (shplonk identity grouping).
@@ -426,6 +438,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
     else:
         from halo2_tpu.multiopen import shplonk
         shplonk.create_proof(params, transcript, queries)
+    _pm("multiopen")
     return transcript.finalize()
 
 

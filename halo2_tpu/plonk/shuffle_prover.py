@@ -16,8 +16,11 @@ from halo2_tpu.plonk.expr_eval import ExprCtx, compress_exprs
 from halo2_tpu.poly.arith import eval_poly
 from halo2_tpu.utils.jitutil import maybe_jit
 
+import os
+
 F = Fr.raw
 P = Fr.p
+_SANITY = os.environ.get("HALO2_TPU_SANITY_CHECKS", "") == "1"
 
 
 def compress(group, lag_ctx: ExprCtx, theta):
@@ -60,6 +63,12 @@ def commit_product(domain, cs, input_cols, shuffle_cols, beta: int, rng):
     ratio = _product_ratio(jnp.stack(input_cols, axis=1),
                            jnp.stack(shuffle_cols, axis=1), beta_l)
     z = _z_from_ratio(ratio)
+    if _SANITY:
+        # grand product must close to 1 at the last active row
+        # (shuffle/prover.rs:159-194 sanity-checks feature)
+        u = n - (bf + 1)
+        zu = Fr.decode_scalar(np.asarray(z[:, u]))
+        assert zu == 1, f"shuffle grand product != 1: {zu}"
     blinds = [rng.randrange(P) for _ in range(bf)]
     z = z.at[:, n - bf:].set(jnp.asarray(Fr.encode(blinds)))
     return z
