@@ -105,3 +105,59 @@ def binop(op: str, field, a, b):
 
 def mont_mul(field, a, b):
     return binop("mul", field, a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(field_key, mid: int, half: int, tile: int):
+    """Fused NTT butterfly: (lo, hi, tw) -> (u, v) with
+    u = lo + hi; v = (lo - hi) * tw.  The twiddle block is re-read per mid
+    row via the index map (never materialized at full batch)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(lo_ref, hi_ref, tw_ref, consts_ref, u_ref, v_ref):
+        p = consts_ref[:, 0:1]
+        pinv = consts_ref[:, 1:2]
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        u_ref[:] = lb.add_mod_raw(lo, hi, p)
+        v_ref[:] = lb.mont_mul_raw(lb.sub_mod_raw(lo, hi, p), tw_ref[:],
+                                   p, pinv)
+
+    blocks_per_row = half // tile
+    grid = mid * blocks_per_row
+    data_spec = pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((lb.N_LIMBS, tile),
+                           lambda i: (0, i % blocks_per_row),
+                           memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[data_spec, data_spec, tw_spec, cspec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(jax.ShapeDtypeStruct((lb.N_LIMBS, mid * half), jnp.uint32),
+                   jax.ShapeDtypeStruct((lb.N_LIMBS, mid * half), jnp.uint32)),
+    )
+
+
+def butterfly(field, lo, hi, tw):
+    """lo/hi: (16, *mid, half); tw: (16, half). Returns (u, v) or None."""
+    if not _ENABLED or not _backend_is_tpu():
+        return None
+    half = lo.shape[-1]
+    if hi.shape != lo.shape or tw.shape[-1] != half:
+        return None
+    if half % _TILE:
+        return None
+    mid = 1
+    for d in lo.shape[1:-1]:
+        mid *= d
+    lo2 = lo.reshape(lb.N_LIMBS, mid * half)
+    hi2 = hi.reshape(lb.N_LIMBS, mid * half)
+    tw2 = tw.reshape(lb.N_LIMBS, half)
+    u, v = _butterfly_call(field.name, mid, half, _TILE)(
+        lo2, hi2, tw2, _field_consts(field.name))
+    return u.reshape(lo.shape), v.reshape(lo.shape)

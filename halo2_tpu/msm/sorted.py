@@ -200,13 +200,30 @@ def _msm_sorted_jit(n: int, num_windows: int, group: int, block: int):
     return jax.jit(run)
 
 
+def _auto_group(n: int, num_windows: int) -> int:
+    # measured on v5e: larger groups grow the argsort/gather cost faster
+    # than they amortize per-op overhead; 8 is the sweet spot at 2^16
+    return min(8, num_windows)
+
+
+def _auto_block(n: int) -> int:
+    b = min(2048, n)
+    while n % b or b & (b - 1):
+        b //= 2
+    return max(b, 1)
+
+
 def msm_sorted(points, scalars_mont, max_bits: int = 256,
-               group: int = 4, block: int = 2048):
+               group: int | None = None, block: int | None = None):
     """Scatter-free MSM. points: (x, y) (16, n) Montgomery affine;
     scalars_mont (16, n). Requires n divisible by block."""
     px, py = points
     n = px.shape[1]
     num_windows = min((max_bits + C_BITS - 1) // C_BITS, 32)
+    if group is None:
+        group = _auto_group(n, num_windows)
+    if block is None:
+        block = _auto_block(n)
     assert n % block == 0 and n >= block
     return _msm_sorted_jit(n, num_windows, min(group, num_windows),
                            block)(px, py, scalars_mont)

@@ -77,6 +77,8 @@ class NTT:
         self._tw_np = powers_table_np(omega, half, Fr.p, Fr.to_mont_int)
         self._tw_inv_np = powers_table_np(self.omega_inv, half, Fr.p, Fr.to_mont_int)
         self._rev_np = bit_reverse_indices(log_n)
+        self._tw_dev = None
+        self._tw_inv_dev = None
 
     # NOTE: these are host numpy arrays on purpose — inside a jit trace they
     # are embedded as program constants; materializing jnp arrays lazily from
@@ -97,63 +99,89 @@ class NTT:
     def n_inv_mont(self):
         return Fr.encode_scalar(self.n_inv)
 
+    def _tw_device(self, inverse: bool):
+        """Device-resident twiddle table (materialized eagerly, never
+        inside someone's trace — avoids tracer leaks and giant folded
+        constants)."""
+        if inverse:
+            if self._tw_inv_dev is None:
+                self._tw_inv_dev = jax.device_put(self._tw_inv_np)
+            return self._tw_inv_dev
+        if self._tw_dev is None:
+            self._tw_dev = jax.device_put(self._tw_np)
+        return self._tw_dev
+
     # ------------------------------------------------------------------
     def _transform(self, a, twiddles):
         """Constant-geometry radix-2 DIF along the last axis.
 
-        a: (16, *mid, n) limb array; returns same shape, natural order."""
+        a: (16, *mid, n) limb array; returns same shape, natural order.
+
+        Stages are UNROLLED with gather-free twiddles: stage s needs
+        T_s[i] = w^(2^s * (i >> s)) = full[(i >> s) << s] — a strided slice
+        of the power table with each entry repeated 2^s times (pure
+        reshape/broadcast; a per-stage n/2 gather measured ~50ms at 2^18).
+        The fused butterfly Pallas kernel is shape-identical across stages,
+        so it compiles once."""
         n, L = self.n, self.log_n
         if n == 1:
             return a
         half = n // 2
         mid_ndim = a.ndim - 2
         shape = a.shape
+        from halo2_tpu.fields import pallas_ops
 
-        def body(y, s):
+        y = a
+        for s in range(L):
             lo = y[..., :half]
             hi = y[..., half:]
-            i = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)[:, 0]
-            idx = (i >> s) << s
-            tw = jnp.take(twiddles, idx, axis=1)  # (16, half)
-            tw = tw.reshape((N_LIMBS,) + (1,) * mid_ndim + (half,))
-            u = F.add(lo, hi)
-            v = F.mul(F.sub(lo, hi), tw)
+            step = 1 << s
+            sub = twiddles[:, ::step]                      # (16, half/step)
+            tw = jnp.broadcast_to(
+                sub[:, :, None],
+                (N_LIMBS, half // step, step)).reshape(N_LIMBS, half)
+            fused = pallas_ops.butterfly(Fr, lo, hi, tw)
+            if fused is not None:
+                u, v = fused
+            else:
+                twb = tw.reshape((N_LIMBS,) + (1,) * mid_ndim + (half,))
+                u = F.add(lo, hi)
+                v = F.mul(F.sub(lo, hi), twb)
             y = jnp.stack([u, v], axis=-1).reshape(shape)
-            return y, None
-
-        y, _ = jax.lax.scan(body, a, jnp.arange(L, dtype=jnp.int32))
         return jnp.take(y, self.rev, axis=-1)
 
     @functools.cached_property
     def _fwd_jit(self):
-        return jax.jit(lambda a: self._transform(a, self.twiddles))
+        return jax.jit(lambda a, tw: self._transform(a, tw))
 
     @functools.cached_property
     def _inv_jit(self):
-        def run(a):
-            out = self._transform(a, self.twiddles_inv)
+        def run(a, tw):
+            out = self._transform(a, tw)
             return F.mul(out, self.n_inv_mont.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
         return jax.jit(run)
 
-    @functools.cached_property
-    def _inv_nodiv_jit(self):
-        return jax.jit(lambda a: self._transform(a, self.twiddles_inv))
-
     def forward(self, a):
         """Coefficients -> evaluations at {omega^i}. a: (16, *mid, n) Montgomery."""
-        return self._fwd_jit(a)
+        return self._fwd_jit(a, self._tw_device(False))
 
     def inverse(self, a):
         """Evaluations -> coefficients (divides by n)."""
-        return self._inv_jit(a)
+        return self._inv_jit(a, self._tw_device(True))
 
     def inverse_nodiv(self, a):
         """Inverse transform WITHOUT the 1/n divisor (callers fold the
         divisor into other constants, like the reference's ifft_divisor,
         /root/reference/halo2_proofs/src/poly/domain.rs:124-131)."""
-        return self._inv_nodiv_jit(a)
+        return self._fwd_nodiv_jit(a, self._tw_device(True))
 
-    # traceable versions for composition inside larger jitted programs
+    @functools.cached_property
+    def _fwd_nodiv_jit(self):
+        return jax.jit(lambda a, tw: self._transform(a, tw))
+
+    # traceable versions for composition inside larger jitted programs.
+    # Twiddles enter as numpy trace constants here (the caller's program
+    # owns them); the unrolled strided slices keep them un-folded.
     def forward_traced(self, a):
         return self._transform(a, self.twiddles)
 
