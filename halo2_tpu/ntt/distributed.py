@@ -108,6 +108,7 @@ class DistNTT:
                 mesh=self.mesh,
                 in_specs=(spec_in,),
                 out_specs=spec_out,
+                check_vma=False,  # pallas_call out_shapes carry no vma
             )
             return body(x3).reshape(N_LIMBS, self.n)
 

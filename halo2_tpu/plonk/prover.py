@@ -40,7 +40,7 @@ from halo2_tpu.multiopen import gwc
 from halo2_tpu.plonk import logup_prover, permutation as perm_mod, shuffle_prover
 from halo2_tpu.plonk.expr_eval import ExprCtx
 from halo2_tpu.plonk.vanishing import VanishingProver
-from halo2_tpu.poly.arith import eval_poly
+from halo2_tpu.poly.arith import eval_poly, eval_poly_batch
 from halo2_tpu.transcript import Blake2bWrite
 from halo2_tpu.utils.profiling import phase_marker
 
@@ -354,39 +354,56 @@ def create_proof_multi(params, pk, circuits, instances_list,
     xn = pow(x, n, P)
 
     _pm("h split+commit")
-    # 10. evals (verifier read order, verifier.rs:246-290)
+    # 10. evals (verifier read order, verifier.rs:246-290), batched:
+    # all polys sharing an evaluation point go through ONE device dot
+    x_next_pt = domain.rotate_omega(x, 1)
+    x_last_pt = domain.rotate_omega(x, -(bf + 1))
+    plan = []  # (poly, point) in exact transcript write order
     for p_i in range(num_proofs):
         for column, rot in cs.instance_queries:
-            transcript.write_scalar(eval_poly(
-                instance_coeffs[p_i][:, column.index, :],
-                domain.rotate_omega(x, rot)))
+            plan.append((instance_coeffs[p_i][:, column.index, :],
+                         domain.rotate_omega(x, rot)))
     for p_i in range(num_proofs):
         for column, rot in cs.advice_queries:
-            transcript.write_scalar(eval_poly(
-                advice_coeffs[p_i][:, column.index, :],
-                domain.rotate_omega(x, rot)))
+            plan.append((advice_coeffs[p_i][:, column.index, :],
+                         domain.rotate_omega(x, rot)))
     for column, rot in cs.fixed_queries:
-        transcript.write_scalar(eval_poly(pk.fixed_coeff[:, column.index, :],
-                                          domain.rotate_omega(x, rot)))
-    h_poly, random_eval = vanishing.evaluate(h_pieces, x, xn)
-    transcript.write_scalar(random_eval)
+        plan.append((pk.fixed_coeff[:, column.index, :],
+                     domain.rotate_omega(x, rot)))
+    h_poly = vanishing.fold_h(h_pieces, xn)
+    plan.append((vanishing.random_poly, x))
     for i in range(m):
-        transcript.write_scalar(
-            eval_poly(pk.permutation_pk.sigmas_coeff[:, i, :], x))
+        plan.append((pk.permutation_pk.sigmas_coeff[:, i, :], x))
     for p_i in range(num_proofs):
-        for s in perm_mod.evaluate_sets(domain, cs, perm_z_coeffs[p_i], x):
-            transcript.write_scalar(s)
+        zc_list = perm_z_coeffs[p_i]
+        for i, zc in enumerate(zc_list):
+            plan.append((zc, x))
+            plan.append((zc, x_next_pt))
+            if i + 1 < len(zc_list):
+                plan.append((zc, x_last_pt))
     for p_i in range(num_proofs):
         for li in range(len(cs.lookups)):
-            for s in logup_prover.evaluate(domain, cs,
-                                           lookup_m_coeffs[p_i][li],
-                                           lookup_z_coeffs[p_i][li], x):
-                transcript.write_scalar(s)
+            plan.append((lookup_m_coeffs[p_i][li], x))
+            zcs = lookup_z_coeffs[p_i][li]
+            for i, zc in enumerate(zcs):
+                plan.append((zc, x))
+                plan.append((zc, x_next_pt))
+                if i + 1 < len(zcs):
+                    plan.append((zc, x_last_pt))
     for p_i in range(num_proofs):
-        for gi in range(len(cs.shuffles)):
-            for s in shuffle_prover.evaluate(domain,
-                                             shuffle_z_coeffs[p_i][gi], x):
-                transcript.write_scalar(s)
+        for zc in shuffle_z_coeffs[p_i]:
+            plan.append((zc, x))
+            plan.append((zc, x_next_pt))
+    by_point = {}
+    for i, (_, pt) in enumerate(plan):
+        by_point.setdefault(pt, []).append(i)
+    results = [None] * len(plan)
+    for pt, idxs in by_point.items():
+        vals = eval_poly_batch([plan[i][0] for i in idxs], pt)
+        for i, v in zip(idxs, vals):
+            results[i] = v
+    for v in results:
+        transcript.write_scalar(v)
 
     _pm("evals")
     # 11. multiopen queries (prover.rs:792-846: per-proof sections, then

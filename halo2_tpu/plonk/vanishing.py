@@ -49,8 +49,8 @@ class VanishingProver:
                        for i in range(qd)]
         return pieces, commitments
 
-    def evaluate(self, pieces, x: int, xn: int):
-        """h_poly = fold pieces by x^n; returns (h_poly coeffs, random_eval)."""
+    def fold_h(self, pieces, xn: int):
+        """h_poly = fold pieces by x^n (vanishing/prover.rs:112-134)."""
         xn_l = jnp.asarray(Fr.encode_scalar(xn))
 
         @maybe_jit
@@ -61,6 +61,10 @@ class VanishingProver:
                 acc = F.add(F.mul(acc, xn_l[:, None]), pieces[:, i, :])
             return acc
 
-        h_poly = fold(pieces, xn_l)
+        return fold(pieces, xn_l)
+
+    def evaluate(self, pieces, x: int, xn: int):
+        """h_poly = fold pieces by x^n; returns (h_poly coeffs, random_eval)."""
+        h_poly = self.fold_h(pieces, xn)
         random_eval = eval_poly(self.random_poly, x)
         return h_poly, random_eval
