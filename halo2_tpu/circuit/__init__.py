@@ -74,6 +74,11 @@ class Assignment:
     def fill_from_row(self, column: Column, from_row: int, value):
         pass
 
+    def assign_advice_bulk(self, column: Column, from_row: int, values):
+        """Vectorized advice assignment (default: per-cell loop)."""
+        for i, v in enumerate(values):
+            self.assign_advice(column, from_row + i, v)
+
     def is_in_prove_mode(self) -> bool:
         return False
 
@@ -102,6 +107,15 @@ class Region:
 
     def assign_fixed(self, annotation, column: Column, offset: int, value) -> AssignedCell:
         return self._l.assign_fixed(column, offset, _resolve(value))
+
+    def assign_advice_bulk(self, annotation, column: Column, offset: int,
+                           values) -> None:
+        """Assign a contiguous run of advice values in one call — the
+        fast path for row-filling circuits (the fork's parallel witness
+        synthesis analogue)."""
+        row0 = self._l._abs(offset + len(values) - 1) - (len(values) - 1)
+        self._l.backend.assign_advice_bulk(column, row0, values)
+        self._l.layouter.mark(column, row0 + len(values) - 1)
 
     def enable_selector(self, annotation, selector: Selector, offset: int):
         self._l.enable_selector(selector, offset)

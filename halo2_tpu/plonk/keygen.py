@@ -56,6 +56,11 @@ class KeygenAssembly(Assignment):
             raise ValueError("not enough rows available")
         # advice ignored during keygen
 
+    def assign_advice_bulk(self, column, from_row, values):
+        if from_row + len(values) > self.usable_rows:
+            raise ValueError("not enough rows available")
+        # advice ignored during keygen
+
     def assign_fixed(self, column, row, value):
         if row >= self.usable_rows:
             raise ValueError("not enough rows available")

@@ -80,6 +80,15 @@ class WitnessCollection(Assignment):
     def query_instance(self, column, row):
         return self.instances[column.index][row]
 
+    def assign_advice_bulk(self, column, from_row, values):
+        if from_row + len(values) > self.usable_rows:
+            raise ValueError("not enough rows available")
+        col = self.advice[column.index]
+        col[from_row: from_row + len(values)] = [v % P for v in values]
+        last = from_row + len(values) - 1
+        if last > self.max_assigned[column.index]:
+            self.max_assigned[column.index] = last
+
     def is_in_prove_mode(self):
         return True
 
