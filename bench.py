@@ -57,21 +57,37 @@ def main():
     log(f"device: {dev}")
 
     # ---- NTT throughput (secondary, stderr) ------------------------------
+    # Iterations are dependency-chained INSIDE one jit (lax.scan) so the
+    # timing measures steady-state device throughput, not the per-dispatch
+    # RPC latency of the axon tunnel (~30-50ms/call would otherwise
+    # dominate).  The chain is a real data dependency: each transform's
+    # input is the previous output.
     log_n = int(os.environ.get("BENCH_NTT_K", "18"))
     ntt = NTT(log_n)
     a = jnp.asarray(
         np.random.RandomState(0).randint(0, 1 << 16, size=(16, 1 << log_n))
         .astype(np.uint32))
-    t0 = time.time()
-    out = ntt.forward(a)
-    sync(out)
-    log(f"NTT 2^{log_n} compile+first: {time.time()-t0:.2f}s")
     iters = 10
+
+    @jax.jit
+    def ntt_chain(x):
+        def body(x, _):
+            return ntt.forward_traced(x), None
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return x
+
     t0 = time.time()
-    for _ in range(iters):
-        out = ntt.forward(out)   # chained: each depends on the previous
-    sync(out)                    # one host sync (tunnel latency ~0.5s)
-    ntt_ms = (time.time() - t0) / iters * 1000
+    out = ntt_chain(a)
+    sync(out)
+    log(f"NTT 2^{log_n} compile+first({iters}x): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    out = ntt_chain(a)
+    sync(out)
+    total = time.time() - t0
+    t0 = time.time()
+    sync(out)
+    rtt = time.time() - t0       # host-read round trip to subtract
+    ntt_ms = (total - rtt) / iters * 1000
     log(f"NTT 2^{log_n}: {ntt_ms:.1f} ms/transform")
 
     # ---- MSM throughput (primary) ----------------------------------------
@@ -92,19 +108,31 @@ def main():
         np.random.RandomState(1).randint(0, 1 << 16, size=(16, n))
         .astype(np.uint32))  # random 256-bit montgomery-form values
 
+    msm_iters = int(os.environ.get("BENCH_MSM_ITERS", "3"))
+
+    @jax.jit
+    def msm_chain(px, py, s):
+        def body(s, _):
+            out = msm((px, py), s)
+            # real data dependency: fold one limb of the result into the
+            # next iteration's scalars (flips low bits — non-eliminable)
+            s = s.at[:, :1].set(s[:, :1] ^ (out[2][:, None] & 1))
+            return s, out
+        s, outs = jax.lax.scan(body, s, None, length=msm_iters)
+        return s, jax.tree_util.tree_map(lambda o: o[-1], outs)
+
     t0 = time.time()
-    out = msm(pts, scalars)
+    _, out = msm_chain(pts[0], pts[1], scalars)
     sync(out)
-    log(f"MSM 2^{msm_k} compile+first: {time.time()-t0:.2f}s")
-    iters = 3
+    log(f"MSM 2^{msm_k} compile+first({msm_iters}x): {time.time()-t0:.2f}s")
     t0 = time.time()
-    for _ in range(iters):
-        out = msm(pts, scalars)
-        # chain the next iteration on this result (honest sequential timing
-        # without paying the host-tunnel round trip per iteration)
-        scalars = scalars.at[:, :1].set(out[2][:, None] & 0xFFFF)
+    _, out = msm_chain(pts[0], pts[1], scalars)
     sync(out)
-    msm_rate = n * iters / (time.time() - t0)
+    total = time.time() - t0
+    t0 = time.time()
+    sync(out)
+    total -= time.time() - t0    # subtract the host-read round trip
+    msm_rate = n * msm_iters / total
     log(f"MSM 2^{msm_k}: {msm_rate:.0f} points/s (full-width scalars)")
 
     print(json.dumps({

@@ -143,16 +143,18 @@ def _zeros_like_rows(x, k: int):
     return jnp.zeros((k,) + x.shape[1:], U32)
 
 
-def mul_wide(a, b):
-    """Full 512-bit product of two 256-bit limb vectors.
+def mul_wide_redundant(a, b):
+    """Full 512-bit product in REDUNDANT limb form (no carry resolution).
 
-    a: (16, *B), b: (16, *B) -> (32, *B) canonical 16-bit limbs.
+    a: (16, *B), b: (16, *B) -> (32, *B) uint32 limbs with each limb
+    < 16 * 2 * (2^16-1) < 2^21; value = sum limb_k 2^(16k) = a*b exactly.
 
     Schoolbook as a 16-step accumulate of shifted partial products. Each
     step's contribution is placed by CONCATENATION (no scatter, no skewed
     mega-tensors), so peak live memory stays at a few (32, *B) buffers —
-    this matters at MSM bucket widths and k=22 NTT sizes.  Accumulator
-    limbs stay < 16 * 2 * (2^16-1) < 2^21: no overflow."""
+    this matters at MSM bucket widths and k=22 NTT sizes.  Deferring the
+    carry pass lets Montgomery multiplication run ONE carry resolution for
+    the whole a*b + m*p sum instead of one per partial product."""
     a, b = jnp.broadcast_arrays(a, b)
 
     def _placed(x, lead: int, trail: int):
@@ -169,7 +171,12 @@ def mul_wide(a, b):
         p = a[i][None] * b                    # (16, *B), exact in u32
         acc = acc + _placed(p & MASK, i, N_LIMBS - i)
         acc = acc + _placed(p >> LIMB_BITS, i + 1, N_LIMBS - i - 1)
-    out, _ = carry_prop(acc, 2 * N_LIMBS)
+    return acc
+
+
+def mul_wide(a, b):
+    """Full 512-bit product, canonical 16-bit limbs: (32, *B)."""
+    out, _ = carry_prop(mul_wide_redundant(a, b), 2 * N_LIMBS)
     return out
 
 
@@ -208,10 +215,17 @@ def sub_mod_raw(a, b, p):
 def mont_mul_raw(a, b, p, pinv):
     """Montgomery product with the modulus/constant arrays passed in
     explicitly (for Pallas kernels, which cannot capture array constants).
-    a, b: (16, *B); p, pinv: (16, 1)-broadcastable limb arrays."""
-    t = mul_wide(a, b)
-    m = mul_lo(t[:N_LIMBS], pinv)
-    mp = mul_wide(m, p)
+    a, b: (16, *B); p, pinv: (16, 1)-broadcastable limb arrays.
+
+    Single-carry-pass formulation: a*b and m*p stay in redundant limb form
+    (limbs < 2^21 each, sum < 2^22 — no uint32 overflow) and one carry
+    resolution canonicalizes the whole T + m*p sum.  Only the low half of T
+    is canonicalized early (16-limb carry pass) because m = T mod 2^256 *
+    (-p^-1) needs exact 16-bit limbs for overflow-free products."""
+    t = mul_wide_redundant(a, b)
+    t_lo, _ = carry_prop(t[:N_LIMBS], N_LIMBS)
+    m = mul_lo(t_lo, pinv)
+    mp = mul_wide_redundant(m, p)
     full, _ = carry_prop(t + mp, 2 * N_LIMBS)
     hi = full[N_LIMBS:]
     diff, borrow = sub_limbs(hi, jnp.broadcast_to(p, hi.shape))
@@ -445,7 +459,11 @@ class Field:
         out = pallas_ops.binop("mul", self, a, b)
         if out is not None:
             return out
-        return self.raw.mont_reduce(mul_wide(a, b))
+        a, b = jnp.broadcast_arrays(a, b)
+        shape = (N_LIMBS,) + (1,) * (a.ndim - 1)
+        return mont_mul_raw(a, b,
+                            jnp.asarray(self.p_np).reshape(shape),
+                            jnp.asarray(self.p_inv_np).reshape(shape))
 
     @jit_method
     def square(self, a):

@@ -89,30 +89,17 @@ def _accumulate(px, py, digits, lanes: int):
 
 
 def _tree_sum_last_axis(pts):
-    """Sum points along the last axis via a masked halving scan.
-
-    One compiled g1.add body serves all log2(L) rounds: round with half h
-    adds slot i+h into slot i for i < h, leaving others untouched (fixed
-    shapes throughout)."""
+    """Sum points along the last axis via a halving tree with REAL shrinking
+    slice shapes (Python-unrolled rounds): total work is L-1 adds, not
+    L*log2(L) masked full-width ops.  L must be a power of two."""
     px, py, pz = pts
     L = px.shape[-1]
-    if L == 1:
-        return px[..., 0], py[..., 0], pz[..., 0]
-    log_l = L.bit_length() - 1
-    lane = jnp.arange(L, dtype=jnp.int32)
-
-    def round_(carry, half):
-        px, py, pz = carry
-        idx = (lane + half) % L
-        qx = jnp.take(px, idx, axis=-1)
-        qy = jnp.take(py, idx, axis=-1)
-        qz = jnp.take(pz, idx, axis=-1)
-        s = g1.add.__wrapped_raw__((px, py, pz), (qx, qy, qz))
-        active = jnp.broadcast_to(lane < half, pz.shape[1:])
-        return g1.select(active, s, (px, py, pz)), None
-
-    halves = jnp.asarray([1 << (log_l - 1 - i) for i in range(log_l)], jnp.int32)
-    (px, py, pz), _ = jax.lax.scan(round_, (px, py, pz), halves)
+    while L > 1:
+        h = L // 2
+        px, py, pz = g1.add.__wrapped_raw__(
+            (px[..., :h], py[..., :h], pz[..., :h]),
+            (px[..., h:], py[..., h:], pz[..., h:]))
+        L = h
     return px[..., 0], py[..., 0], pz[..., 0]
 
 
@@ -155,9 +142,15 @@ def _reduce_buckets(buckets):
     return _tree_sum_last_axis((bx, by, bz))
 
 
-def _combine_windows(totals):
+def _combine_windows(totals, c_bits: int = C_BITS):
     """Horner over windows via scan: acc = (acc * 2^c) + T_w, w descending.
-    One scan body (c doublings + 1 add) regardless of window count."""
+
+    The c doublings inside the body are Python-unrolled (lax loop
+    iterations cost ~0.1-0.3 ms each in scalar-core sync on 1-lane
+    tensors — a nested fori_loop made this combine dominate the MSM
+    tail), but the window axis stays a lax.scan so the compiled graph
+    holds ONE body regardless of window count (a full unroll of
+    W*(c+1) point ops OOM-killed the TPU compiler)."""
     tx, ty, tz = totals
     W = tx.shape[-1]
     acc = (tx[:, W - 1], ty[:, W - 1], tz[:, W - 1])
@@ -165,8 +158,8 @@ def _combine_windows(totals):
         return acc
 
     def body(acc, t):
-        acc = jax.lax.fori_loop(
-            0, C_BITS, lambda _, a: g1.double.__wrapped_raw__(a), acc)
+        for _ in range(c_bits):
+            acc = g1.double.__wrapped_raw__(acc)
         return g1.add.__wrapped_raw__(acc, t), None
 
     # windows W-2 down to 0, window axis moved to front for the scan

@@ -34,6 +34,14 @@ from halo2_tpu.fields.limbs import N_LIMBS
 C_BITS = 8
 NB = 1 << C_BITS
 
+# signed-window configuration: c bits per window, digits recoded into
+# [-2^(c-1), 2^(c-1)] so the bucket table holds 2^(c-1)+1 entries (|digit|;
+# the sign rides on the point's y).  Fewer windows = fewer scan additions:
+# at 254-bit scalars c=13 gives 20 windows vs 32 for unsigned c=8, the
+# classic Pippenger work optimum W*(n + 2^(c-1)) (arithmetic.rs:20-108 uses
+# unsigned c=ln(n); the GPU kernels use c=8 fixed).
+SIGNED_C_BITS = 13
+
 
 def _digits(scalars_std, num_windows: int):
     parts = []
@@ -42,6 +50,50 @@ def _digits(scalars_std, num_windows: int):
         shift = 8 * (w % 2)
         parts.append(((limb >> shift) & 0xFF).astype(jnp.int32))
     return jnp.stack(parts)  # (W, n)
+
+
+def _raw_digits_c(scalars_std, num_windows: int, c: int):
+    """(16, n) standard 16-bit limbs -> (W, n) int32 unsigned c-bit digits."""
+    n_limbs = scalars_std.shape[0]
+    parts = []
+    for w in range(num_windows):
+        off = c * w
+        i, sh = off // 16, off % 16
+        lo = scalars_std[i] >> sh
+        if sh + c > 16 and i + 1 < n_limbs:
+            lo = lo | (scalars_std[i + 1] << (16 - sh))
+        parts.append((lo & ((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(parts)
+
+
+def _signed_digits(scalars_std, num_windows: int, c: int):
+    """Signed-window recoding.
+
+    Returns (mag, neg): (W, n) int32 bucket magnitudes in [0, 2^(c-1)] and
+    (W, n) bool sign flags.  d_w' = d_w + carry; if d' >= 2^(c-1):
+    d' -= 2^c, carry = 1.  The top window absorbs the final carry without
+    overflow as long as the scalar field leaves >= 2 spare bits there
+    (callers size num_windows = ceil(max_bits / c) with max_bits <= 254 and
+    c chosen so c*(W-1) >= max_bits - (c-2))."""
+    raw = _raw_digits_c(scalars_std, num_windows, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    mags, negs = [], []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(num_windows):
+        d = raw[w] + carry
+        is_last = w == num_windows - 1
+        if is_last:
+            neg = jnp.zeros_like(d, dtype=bool)
+            mag = d
+            carry = jnp.zeros_like(d)
+        else:
+            neg = d >= half
+            mag = jnp.where(neg, full - d, d)
+            carry = jnp.where(neg, 1, 0)
+        mags.append(mag)
+        negs.append(neg)
+    return jnp.stack(mags), jnp.stack(negs)
 
 
 def _prefix_scan_group(px_s, py_s, block: int):
@@ -66,31 +118,59 @@ def _prefix_scan_group(px_s, py_s, block: int):
 
     init = g1.identity((G, B))
     totals, intra = jax.lax.scan(step, init, (pxr, pyr))
-    # exclusive block offsets: prefix over block totals along B (Hillis-Steele)
-    bx, by, bz = totals
-    log_b = B.bit_length() - 1
-    lane = jnp.arange(B, dtype=jnp.int32)
-
-    def hs_round(carry, shift):
-        cx, cy, cz = carry
-        idx = lane - shift
-        valid = idx >= 0
-        idx = jnp.where(valid, idx, 0)
-        sx = jnp.take(cx, idx, axis=-1)
-        sy = jnp.take(cy, idx, axis=-1)
-        sz = jnp.take(cz, idx, axis=-1)
-        ident = g1.identity(cz.shape[1:])
-        s = g1.select(jnp.broadcast_to(valid, cz.shape[1:]), (sx, sy, sz), ident)
-        return g1.add(carry, s), None
-
-    shifts = jnp.asarray([1 << i for i in range(log_b)], jnp.int32)
-    (ix, iy, iz), _ = jax.lax.scan(hs_round, (bx, by, bz), shifts)
-    # inclusive -> exclusive: shift lanes right by one, identity at lane 0
-    ident = g1.identity(iz.shape[1:])
-    excl = tuple(jnp.where(
-        (lane == 0), i0, jnp.roll(v, 1, axis=-1))
-        for v, i0 in zip((ix, iy, iz), ident))
+    # exclusive block offsets: work-efficient (Blelloch) exclusive scan of
+    # the B block totals — 2(B-1) point adds total vs B*log2(B) for a
+    # Hillis–Steele ladder; rounds are Python-unrolled with static shrinking
+    # slice shapes so the saved work is real (no masked full-width ops)
+    excl = _blelloch_exclusive(totals)
     return intra, excl
+
+
+def _blelloch_exclusive(totals):
+    """Exclusive prefix scan of points along the last axis (length B, a
+    power of two).  totals: 3 coords of (16, G, B).  Returns same shapes."""
+    B = totals[0].shape[-1]
+    if B == 1:
+        return g1.identity(totals[2].shape[1:])
+    log_b = B.bit_length() - 1
+
+    def pair_view(t, s):
+        # (16, G, B) -> (16, G, B/(2s), 2s)
+        return tuple(c.reshape(c.shape[:-1] + (B // (2 * s), 2 * s))
+                     for c in t)
+
+    def unview(t):
+        return tuple(c.reshape(c.shape[:-2] + (B,)) for c in t)
+
+    x = totals
+    # upsweep: hi += lo at strides 1, 2, ..., B/2
+    for d in range(log_b):
+        s = 1 << d
+        v = pair_view(x, s)
+        lo = tuple(c[..., s - 1] for c in v)
+        hi = tuple(c[..., 2 * s - 1] for c in v)
+        new_hi = g1.add(hi, lo)
+        x = unview(tuple(
+            jnp.concatenate([c[..., :2 * s - 1], nh[..., None]], axis=-1)
+            for c, nh in zip(v, new_hi)))
+    # clear root, downsweep: (lo, hi) <- (hi, hi + lo)
+    ident = g1.identity(x[2].shape[1:-1] + (1,))
+    x = tuple(jnp.concatenate([c[..., :B - 1], i0], axis=-1)
+              for c, i0 in zip(x, ident))
+    for d in range(log_b - 1, -1, -1):
+        s = 1 << d
+        v = pair_view(x, s)
+        lo = tuple(c[..., s - 1] for c in v)
+        hi = tuple(c[..., 2 * s - 1] for c in v)
+        new_hi = g1.add(hi, lo)
+        parts = []
+        for c, nl, nh in zip(v, hi, new_hi):
+            seg = [c[..., :s - 1], nl[..., None]] if s > 1 else [nl[..., None]]
+            seg += ([c[..., s:2 * s - 1], nh[..., None]] if s > 1
+                    else [nh[..., None]])
+            parts.append(jnp.concatenate(seg, axis=-1))
+        x = unview(tuple(parts))
+    return x
 
 
 def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
@@ -100,7 +180,7 @@ def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
     positions.  position e -> block b = e // S, step s = e % S;
     prefix[e] = excl[b] + intra[s, b]."""
     S = n // block
-    G = ends.shape[0]
+    G, nb = ends.shape
     b_idx = jnp.clip(ends // S, 0, block - 1)
     s_idx = jnp.clip(ends % S, 0, S - 1)
 
@@ -111,13 +191,13 @@ def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
         # (S, 16, G, B) --take S--> (16, G, NB, B)?  simpler with one flat gather:
         SS, L, GG, BB = intra_c.shape
         flat = intra_c.transpose(1, 0, 2, 3).reshape(L, SS * GG * BB)
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (GG, NB), 0)
-        fidx = (s_idx * GG + g_iota) * BB + b_idx     # (G, NB)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (GG, nb), 0)
+        fidx = (s_idx * GG + g_iota) * BB + b_idx     # (G, nb)
         picked = jnp.take(flat, fidx.reshape(-1), axis=1)
-        picked = picked.reshape(L, GG, NB)
+        picked = picked.reshape(L, GG, nb)
         eflat = excl_c.reshape(L, GG * BB)
         eidx = g_iota * BB + b_idx
-        epick = jnp.take(eflat, eidx.reshape(-1), axis=1).reshape(L, GG, NB)
+        epick = jnp.take(eflat, eidx.reshape(-1), axis=1).reshape(L, GG, nb)
         return picked, epick
 
     coords = []
@@ -135,75 +215,133 @@ def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
                      summed, ident)
 
 
-def _window_totals(e_pts):
-    """E points (3 coords of (16, G, NB)) -> per-window totals (16, G) x3.
+def _abel_window_totals(e_pts, nb: int):
+    """E points (3 coords of (16, G, nb)) -> per-window totals (16, G) x3.
 
-    total = 255 * E_255 - sum_{b=0}^{254} E_b  (Abel summation)."""
+    total = sum_b b * Bucket_b = M * E_M - sum_{b=0}^{M-1} E_b with
+    M = nb - 1 (Abel summation over bucket boundary prefixes)."""
     ex, ey, ez = e_pts
-    # sum_{b=0..254}: replace slot 255 with identity then tree-sum
-    ix, iy, iz = g1.identity(ez.shape[1:-1] + (1,))
-    sx = jnp.concatenate([ex[..., :NB - 1], ix], axis=-1)
-    sy = jnp.concatenate([ey[..., :NB - 1], iy], axis=-1)
-    sz = jnp.concatenate([ez[..., :NB - 1], iz], axis=-1)
+    M = nb - 1
+    # sum_{b=0..M-1}: drop the last slot then tree-sum (M is a power of two
+    # for both the unsigned path, nb = 256 -> pad-with-identity to 256, and
+    # the signed path, nb = 2^(c-1)+1 -> M = 2^(c-1))
     from halo2_tpu.msm.msm import _tree_sum_last_axis
-    s_sum = _tree_sum_last_axis((sx, sy, sz))
-    # 255 * E_255 = 256*E - E = (E<<8) - E
-    e_last = (ex[..., NB - 1], ey[..., NB - 1], ez[..., NB - 1])
-    acc = e_last
-    for _ in range(C_BITS):
-        acc = g1.double(acc)
-    acc = g1.add(acc, g1.neg(e_last))
+    if M & (M - 1) == 0:
+        s_sum = _tree_sum_last_axis((ex[..., :M], ey[..., :M], ez[..., :M]))
+    else:
+        ix, iy, iz = g1.identity(ez.shape[1:-1] + (1,))
+        pad = (1 << M.bit_length()) - M
+        sx = jnp.concatenate([ex[..., :M]] + [ix] * pad, axis=-1)
+        sy = jnp.concatenate([ey[..., :M]] + [iy] * pad, axis=-1)
+        sz = jnp.concatenate([ez[..., :M]] + [iz] * pad, axis=-1)
+        s_sum = _tree_sum_last_axis((sx, sy, sz))
+    e_last = (ex[..., M], ey[..., M], ez[..., M])
+    if M & (M - 1) == 0:
+        # M * E_M via log2(M) doublings
+        acc = e_last
+        for _ in range(M.bit_length() - 1):
+            acc = g1.double(acc)
+    else:
+        # M * E_M = 2^ceil * E - (2^ceil - M) * E; only used for M = 255:
+        acc = e_last
+        for _ in range(M.bit_length()):
+            acc = g1.double(acc)
+        acc = g1.add(acc, g1.neg(e_last))
     return g1.add(acc, g1.neg(s_sum))
 
 
-@functools.lru_cache(maxsize=None)
-def _msm_sorted_jit(n: int, num_windows: int, group: int, block: int):
-    # pad the HIGH windows to a multiple of `group` — padded windows have
-    # all-zero digits, so their totals are the identity and the Horner
-    # combine starts from identity harmlessly.
+def num_windows_for(max_bits: int, c: int = SIGNED_C_BITS) -> int:
+    """Window count for the signed-c-bit path. Scalars are canonical
+    (< 2^254 for BN254 Fr), so 254 caps the useful bit range; the +2 spare
+    bits in the top window absorb the signed-recoding carry."""
+    bits = min(max_bits, 254)
+    w = (bits + c - 1) // c
+    # top window must absorb carry without reaching 2^(c-1):
+    if bits - c * (w - 1) > c - 2:
+        w += 1
+    return max(w, 1)
+
+
+def window_totals(px, py, scalars_mont, max_bits: int, group: int,
+                  block: int, c: int = SIGNED_C_BITS):
+    """Traceable per-window signed-bucket totals over THIS shard's points.
+
+    px/py: (16, n) Montgomery affine; scalars_mont: (16, n).  Returns
+    projective totals, 3 coords of (16, W) where W = num_windows_for(
+    max_bits, c) padded up to a multiple of `group` (padded windows have
+    all-zero digits so their totals are the identity — harmless in the
+    Horner combine).
+
+    This is the building block shared by the single-chip path and the
+    sharded multi-chip path (msm/distributed.py): window totals are
+    additive over point shards, so chips compute them locally and reduce
+    with a log-tree of point adds over the mesh axis."""
+    n = px.shape[1]
+    num_windows = num_windows_for(max_bits, c)
+    nb = (1 << (c - 1)) + 1
     w_pad = (-num_windows) % group
     W = num_windows + w_pad
     n_groups = W // group
 
+    scal = Fr.raw.from_mont(scalars_mont)
+    mag, neg = _signed_digits(scal, num_windows, c)   # (W0, n) each
+    if w_pad:
+        mag = jnp.concatenate(
+            [mag, jnp.zeros((w_pad, n), jnp.int32)], axis=0)
+        neg = jnp.concatenate(
+            [neg, jnp.zeros((w_pad, n), bool)], axis=0)
+    dg = mag.reshape(n_groups, group, n)
+    sg = neg.reshape(n_groups, group, n)
+
+    py_neg = Fq.raw.neg(py)
+
+    def one_group(_, ds):
+        d, s = ds  # (G, n) magnitudes, (G, n) sign flags
+        order = jnp.argsort(d, axis=1, stable=True)
+        d_sorted = jnp.take_along_axis(d, order, axis=1)
+        s_sorted = jnp.take_along_axis(s, order, axis=1)
+        px_s = jnp.take(px, order.reshape(-1), axis=1).reshape(
+            N_LIMBS, group, n)
+        py_pos = jnp.take(py, order.reshape(-1), axis=1).reshape(
+            N_LIMBS, group, n)
+        py_min = jnp.take(py_neg, order.reshape(-1), axis=1).reshape(
+            N_LIMBS, group, n)
+        py_s = jnp.where(s_sorted[None], py_min, py_pos)
+        intra, excl = _prefix_scan_group(px_s, py_s, block)
+        bvals = jnp.arange(nb, dtype=jnp.int32)
+        ends = jax.vmap(
+            lambda row: jnp.searchsorted(row, bvals, side="right"))(
+            d_sorted).astype(jnp.int32) - 1      # (G, nb), -1 if empty
+        e_pts = _gather_boundary_prefix(intra, excl, ends, block, n)
+        return None, _abel_window_totals(e_pts, nb)
+
+    _, totals = jax.lax.scan(one_group, None, (dg, sg))
+    # totals: 3 coords of (n_groups, 16, group) -> (16, W)
+    tx = totals[0].transpose(1, 0, 2).reshape(N_LIMBS, W)
+    ty = totals[1].transpose(1, 0, 2).reshape(N_LIMBS, W)
+    tz = totals[2].transpose(1, 0, 2).reshape(N_LIMBS, W)
+    return (tx, ty, tz)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_sorted_jit(n: int, max_bits: int, group: int, block: int):
     def run(px, py, scalars_mont):
-        scal = Fr.raw.from_mont(scalars_mont)
-        digits = _digits(scal, num_windows)          # (W0, n)
-        if w_pad:
-            digits = jnp.concatenate(
-                [digits, jnp.zeros((w_pad, n), jnp.int32)], axis=0)
-        dg = digits.reshape(n_groups, group, n)
-
-        def one_group(_, d):
-            # d: (G, n) digits
-            order = jnp.argsort(d, axis=1, stable=True)
-            d_sorted = jnp.take_along_axis(d, order, axis=1)
-            px_s = jnp.take(px, order.reshape(-1), axis=1).reshape(
-                N_LIMBS, group, n)
-            py_s = jnp.take(py, order.reshape(-1), axis=1).reshape(
-                N_LIMBS, group, n)
-            intra, excl = _prefix_scan_group(px_s, py_s, block)
-            bvals = jnp.arange(NB, dtype=jnp.int32)
-            ends = jax.vmap(
-                lambda row: jnp.searchsorted(row, bvals, side="right"))(
-                d_sorted).astype(jnp.int32) - 1      # (G, NB), -1 if empty
-            e_pts = _gather_boundary_prefix(intra, excl, ends, block, n)
-            return None, _window_totals(e_pts)
-
-        _, totals = jax.lax.scan(one_group, None, dg)
-        # totals: 3 coords of (n_groups, 16, group) -> (16, W)
-        tx = totals[0].transpose(1, 0, 2).reshape(N_LIMBS, W)
-        ty = totals[1].transpose(1, 0, 2).reshape(N_LIMBS, W)
-        tz = totals[2].transpose(1, 0, 2).reshape(N_LIMBS, W)
+        totals = window_totals(px, py, scalars_mont, max_bits, group, block)
         from halo2_tpu.msm.msm import _combine_windows
-        return _combine_windows((tx, ty, tz))
+        return _combine_windows(totals, SIGNED_C_BITS)
 
     return jax.jit(run)
 
 
 def _auto_group(n: int, num_windows: int) -> int:
-    # measured on v5e: larger groups grow the argsort/gather cost faster
-    # than they amortize per-op overhead; 8 is the sweet spot at 2^16
-    return min(8, num_windows)
+    """Windows per shared scan: prefer the largest g <= 8 with the least
+    padding waste (padded windows are dead scan work)."""
+    best = (num_windows + 1, -1)
+    for g in range(1, min(8, num_windows) + 1):
+        pad = (-num_windows) % g
+        if (pad, -g) < best:
+            best = (pad, -g)
+    return -best[1]
 
 
 def _auto_block(n: int) -> int:
@@ -219,11 +357,11 @@ def msm_sorted(points, scalars_mont, max_bits: int = 256,
     scalars_mont (16, n). Requires n divisible by block."""
     px, py = points
     n = px.shape[1]
-    num_windows = min((max_bits + C_BITS - 1) // C_BITS, 32)
+    num_windows = num_windows_for(max_bits)
     if group is None:
         group = _auto_group(n, num_windows)
     if block is None:
         block = _auto_block(n)
     assert n % block == 0 and n >= block
-    return _msm_sorted_jit(n, num_windows, min(group, num_windows),
+    return _msm_sorted_jit(n, max_bits, min(group, num_windows),
                            block)(px, py, scalars_mont)

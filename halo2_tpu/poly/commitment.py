@@ -85,6 +85,30 @@ class Params:
         self.g = g_dev                    # (2, 16, n) Montgomery affine
         self.g_lagrange = g_lagrange_dev  # (2, 16, n)
         self.s_g2 = s_g2                  # host G2 point (FQ2 pair)
+        self.mesh = None                  # set via use_mesh for multi-chip
+        self.mesh_axis = "x"
+
+    def use_mesh(self, mesh, axis: str = "x"):
+        """Route every commitment MSM through the sharded multi-chip path
+        (msm/distributed.py): SRS bases and poly values shard over `axis`,
+        window totals reduce over ICI. Pass mesh=None to go single-chip."""
+        self.mesh = mesh
+        self.mesh_axis = axis
+        return self
+
+    # sharded-MSM size gate: below this, one chip is faster than paying
+    # the per-shard fixed costs (the analogue of the reference's >2^14
+    # GPU-vs-CPU gate, arithmetic.rs:442-458)
+    MESH_MSM_MIN = 1 << 12
+
+    def _msm(self, bases, values, max_bits: int = 256):
+        n = values.shape[1]
+        if (self.mesh is not None and n >= self.MESH_MSM_MIN
+                and n % self.mesh.shape[self.mesh_axis] == 0):
+            from halo2_tpu.msm.distributed import msm_sharded
+            return msm_sharded(bases, values, self.mesh,
+                               axis=self.mesh_axis, max_bits=max_bits)
+        return msm(bases, values, max_bits=max_bits)
 
     # -- setup ----------------------------------------------------------
     @classmethod
@@ -126,13 +150,13 @@ class Params:
     # -- commitments ------------------------------------------------------
     def commit(self, coeffs):
         """Commit to coefficient-form poly values (16, n) Montgomery."""
-        return msm((self.g[0], self.g[1]), coeffs)
+        return self._msm((self.g[0], self.g[1]), coeffs)
 
     def commit_lagrange(self, values, max_bits: int = 256):
         """Commit to Lagrange-form values; max_bits enables the
         bounded-window fast path (commitment.rs:199-222)."""
-        return msm((self.g_lagrange[0], self.g_lagrange[1]), values,
-                   max_bits=max_bits)
+        return self._msm((self.g_lagrange[0], self.g_lagrange[1]), values,
+                         max_bits=max_bits)
 
     def verifier(self, public_inputs_size: int) -> "ParamsVerifier":
         gl_host = g1.decode_points(self.g_lagrange[:, :, :max(public_inputs_size, 1)])

@@ -43,3 +43,38 @@ def test_dist_ntt_sharded_input(mesh):
     a_sharded = jax.device_put(a3, NamedSharding(mesh, Pspec(None, None, "x")))
     got = Fr.decode(np.asarray(dist.forward(a_sharded.reshape(16, n))))
     assert got == Fr.decode(NTT(log_n).forward(a))
+
+
+def test_msm_sharded_matches_host(mesh):
+    """Sharded MSM over the 8-device mesh == host golden model."""
+    from halo2_tpu.curves import g1, host
+    from halo2_tpu.msm.distributed import msm_sharded
+
+    n = 2048
+    r = random.Random(0xA11)
+    pts = [host.random_point(r) for _ in range(n)]
+    scalars = [r.randrange(Fr.p) for _ in range(n)]
+    # degenerate digits in one shard: all-equal scalars in a stretch
+    scalars[256:512] = [scalars[256]] * 256
+    dev_pts = g1.encode_points(pts)
+    dev_scal = jnp.asarray(Fr.encode(scalars))
+    proj = msm_sharded((dev_pts[0], dev_pts[1]), dev_scal, mesh)
+    got = g1.decode_points(
+        jnp.stack(g1.to_affine(tuple(p[:, None] for p in proj))))[0]
+    assert got == host.msm(pts, scalars)
+
+
+def test_msm_sharded_bounded_bits(mesh):
+    from halo2_tpu.curves import g1, host
+    from halo2_tpu.msm.distributed import msm_sharded
+
+    n = 1024
+    r = random.Random(0xB22)
+    pts = [host.random_point(r) for _ in range(n)]
+    scalars = [r.randrange(1 << 16) for _ in range(n)]
+    dev_pts = g1.encode_points(pts)
+    dev_scal = jnp.asarray(Fr.encode(scalars))
+    proj = msm_sharded((dev_pts[0], dev_pts[1]), dev_scal, mesh, max_bits=16)
+    got = g1.decode_points(
+        jnp.stack(g1.to_affine(tuple(p[:, None] for p in proj))))[0]
+    assert got == host.msm(pts, scalars)
