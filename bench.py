@@ -2,7 +2,7 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Primary metric: MSM throughput (points/s, full 254-bit scalars) at
+Primary metric: MSM throughput (points/s, full-width 254-bit scalars) at
 BENCH_MSM_K (default 2^16) via the scatter-free sorted Pippenger path — the
 reference's dominant commit-phase primitive (arithmetic.rs best_multiexp;
 BASELINE.md lists "MSM points/s and NTT size-2^k/s" as the numbers to beat).
@@ -11,8 +11,12 @@ vs_baseline compares against the measured-here reference-class CPU estimate
 recorded in BASELINE.md (1e6 points/s multicore Rust at 2^16-2^20); the
 driver records absolute values either way.
 
-Timing is host-synchronized (a device->host read after each iteration), not
-async dispatch.  Secondary NTT numbers go to stderr.
+Timing methodology (the axon TPU tunnel makes naive timing lie twice —
+block_until_ready returns early, and device->host reads of large buffers
+run at tunnel bandwidth): every measurement runs the op dependency-chained
+inside ONE jit at two different chain lengths, reduces the output to a
+scalar digest on device, and reports (t_long - t_short) / (iters_long -
+iters_short) — dispatch latency and transfer cost cancel in the slope.
 """
 
 import json
@@ -41,12 +45,28 @@ def log(*a):
 
 
 def sync(x):
-    _ = np.asarray(jax.tree_util.tree_leaves(x)[0])[..., :1]
+    _ = np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def slope_time(make_chain, n_short: int, n_long: int, reps: int = 2):
+    """make_chain(n) -> zero-arg callable returning a tiny device digest.
+    Returns (seconds per iteration, compile_seconds)."""
+    f_short = make_chain(n_short)
+    f_long = make_chain(n_long)
+    t0 = time.time()
+    sync(f_short())
+    sync(f_long())
+    compile_s = time.time() - t0
+    best_s = best_l = 1e18
+    for _ in range(reps):
+        t0 = time.time(); sync(f_short()); best_s = min(best_s, time.time() - t0)
+        t0 = time.time(); sync(f_long()); best_l = min(best_l, time.time() - t0)
+    return max(best_l - best_s, 1e-9) / (n_long - n_short), compile_s
 
 
 def main():
     from halo2_tpu.fields.bn254 import Fr
-    from halo2_tpu.fields.limbs import ints_to_limbs_np
+    from halo2_tpu.fields.limbs import N_LIMBS, ints_to_limbs_np
     from halo2_tpu.msm import msm
     from halo2_tpu.ntt import NTT
     from halo2_tpu.curves import g1, host
@@ -57,38 +77,23 @@ def main():
     log(f"device: {dev}")
 
     # ---- NTT throughput (secondary, stderr) ------------------------------
-    # Iterations are dependency-chained INSIDE one jit (lax.scan) so the
-    # timing measures steady-state device throughput, not the per-dispatch
-    # RPC latency of the axon tunnel (~30-50ms/call would otherwise
-    # dominate).  The chain is a real data dependency: each transform's
-    # input is the previous output.
     log_n = int(os.environ.get("BENCH_NTT_K", "18"))
     ntt = NTT(log_n)
     a = jnp.asarray(
         np.random.RandomState(0).randint(0, 1 << 16, size=(16, 1 << log_n))
         .astype(np.uint32))
-    iters = 10
 
-    @jax.jit
-    def ntt_chain(x):
-        def body(x, _):
-            return ntt.forward_traced(x), None
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return x
+    def ntt_chain(iters):
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                return ntt.forward_traced(x), None
+            x, _ = jax.lax.scan(body, x, None, length=iters)
+            return jnp.sum(x, dtype=jnp.uint32).reshape(1)
+        return lambda: run(a)
 
-    t0 = time.time()
-    out = ntt_chain(a)
-    sync(out)
-    log(f"NTT 2^{log_n} compile+first({iters}x): {time.time()-t0:.2f}s")
-    t0 = time.time()
-    out = ntt_chain(a)
-    sync(out)
-    total = time.time() - t0
-    t0 = time.time()
-    sync(out)
-    rtt = time.time() - t0       # host-read round trip to subtract
-    ntt_ms = (total - rtt) / iters * 1000
-    log(f"NTT 2^{log_n}: {ntt_ms:.1f} ms/transform")
+    ntt_s, comp = slope_time(ntt_chain, 2, 12)
+    log(f"NTT 2^{log_n}: {ntt_s*1000:.2f} ms/transform (compile {comp:.0f}s)")
 
     # ---- MSM throughput (primary) ----------------------------------------
     msm_k = int(os.environ.get("BENCH_MSM_K", "16"))
@@ -103,37 +108,31 @@ def main():
     pts = g1.to_affine(pts_proj)
     sync(pts)
     log(f"point-gen 2^{msm_k}: {time.time()-t0:.2f}s")
+    px, py = jnp.asarray(np.asarray(pts[0])), jnp.asarray(np.asarray(pts[1]))
 
-    scalars = jnp.asarray(
-        np.random.RandomState(1).randint(0, 1 << 16, size=(16, n))
-        .astype(np.uint32))  # random 256-bit montgomery-form values
+    # canonical full-width scalars (< p): random 253-bit values
+    sc = np.random.RandomState(1).randint(
+        0, 1 << 16, size=(16, n)).astype(np.uint32)
+    sc[15] &= 0x1FFF
+    scalars = jnp.asarray(sc)
 
-    msm_iters = int(os.environ.get("BENCH_MSM_ITERS", "3"))
+    def msm_chain(iters):
+        @jax.jit
+        def run(px, py, s):
+            def body(s, _):
+                out = msm((px, py), s)
+                # real data dependency: fold one limb of the result into the
+                # next iteration's scalars (flips low bits — non-eliminable)
+                s = s.at[0, :].set(s[0, :] ^ (out[2][0] & 1))
+                return s, out
+            s, outs = jax.lax.scan(body, s, None, length=iters)
+            return jnp.sum(outs[0][-1], dtype=jnp.uint32).reshape(1)
+        return lambda: run(px, py, scalars)
 
-    @jax.jit
-    def msm_chain(px, py, s):
-        def body(s, _):
-            out = msm((px, py), s)
-            # real data dependency: fold one limb of the result into the
-            # next iteration's scalars (flips low bits — non-eliminable)
-            s = s.at[:, :1].set(s[:, :1] ^ (out[2][:, None] & 1))
-            return s, out
-        s, outs = jax.lax.scan(body, s, None, length=msm_iters)
-        return s, jax.tree_util.tree_map(lambda o: o[-1], outs)
-
-    t0 = time.time()
-    _, out = msm_chain(pts[0], pts[1], scalars)
-    sync(out)
-    log(f"MSM 2^{msm_k} compile+first({msm_iters}x): {time.time()-t0:.2f}s")
-    t0 = time.time()
-    _, out = msm_chain(pts[0], pts[1], scalars)
-    sync(out)
-    total = time.time() - t0
-    t0 = time.time()
-    sync(out)
-    total -= time.time() - t0    # subtract the host-read round trip
-    msm_rate = n * msm_iters / total
-    log(f"MSM 2^{msm_k}: {msm_rate:.0f} points/s (full-width scalars)")
+    msm_s, comp = slope_time(msm_chain, 1, 4)
+    msm_rate = n / msm_s
+    log(f"MSM 2^{msm_k}: {msm_s*1000:.1f} ms ({msm_rate:.0f} points/s, "
+        f"full-width scalars; compile {comp:.0f}s)")
 
     print(json.dumps({
         "metric": f"msm_throughput_2^{msm_k}",

@@ -85,18 +85,30 @@ def _point_call(op: str, n: int, tile: int):
 
 def point_op(op: str, coords):
     """coords: flat list of (16, *B) coordinate arrays (same shape).
-    Returns (X, Y, Z) or None to signal jnp fallback."""
+    Returns (X, Y, Z) or None to signal jnp fallback (off-TPU only).
+
+    Batches that are not a multiple of the tile are PADDED to one (zero
+    coordinates are harmless garbage lanes, sliced off after) — an inline
+    jnp fallback for ragged batches costs ~70s of XLA compile per call
+    site, so on TPU every batch goes through the one Mosaic kernel."""
     if not pallas_ops._backend_is_tpu() or not pallas_ops._ENABLED:
         return None
     shape = coords[0].shape
-    if any(c.shape != shape for c in coords) or len(shape) < 2:
+    if any(c.shape != shape for c in coords) or len(shape) < 1:
         return None
     batch = 1
     for d in shape[1:]:
         batch *= d
-    if batch % _TILE or batch == 0:
+    if batch == 0:
         return None
     from halo2_tpu.fields.pallas_ops import _field_consts
     flat = [c.reshape(lb.N_LIMBS, batch) for c in coords]
-    out = _point_call(op, batch, _TILE)(*flat, _field_consts("Fq"))
+    pad = (-batch) % _TILE
+    if pad:
+        flat = [jnp.concatenate(
+            [c, jnp.zeros((lb.N_LIMBS, pad), jnp.uint32)], axis=1)
+            for c in flat]
+    out = _point_call(op, batch + pad, _TILE)(*flat, _field_consts("Fq"))
+    if pad:
+        out = tuple(o[:, :batch] for o in out)
     return tuple(o.reshape(shape) for o in out)

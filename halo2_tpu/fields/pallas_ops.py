@@ -143,6 +143,57 @@ def _butterfly_call(field_key, mid: int, half: int, tile: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _mul_tiled_call(field_key, mid: int, k: int, tile: int):
+    """a: (16, mid*k), t: (16, k) -> a * t with t re-read per mid row via
+    the index map (never materialized at full batch)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, t_ref, consts_ref, o_ref):
+        o_ref[:] = lb.mont_mul_raw(a_ref[:], t_ref[:],
+                                   consts_ref[:, 0:1], consts_ref[:, 1:2])
+
+    blocks_per_row = k // tile
+    grid = mid * blocks_per_row
+    data_spec = pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((lb.N_LIMBS, tile),
+                          lambda i: (0, i % blocks_per_row),
+                          memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[data_spec, t_spec, cspec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((lb.N_LIMBS, mid * k), jnp.uint32),
+    )
+
+
+def mul_tiled(field, a, t):
+    """a: (16, *mid, K) times a shared table t: (16, K) (broadcast over the
+    mid dims without materializing). Returns a's shape, or None (fallback).
+    """
+    if not _ENABLED or not _backend_is_tpu():
+        return None
+    k = a.shape[-1]
+    tk = 1
+    for d in t.shape[1:]:
+        tk *= d
+    if tk != k or k % _TILE:
+        return None
+    mid = 1
+    for d in a.shape[1:-1]:
+        mid *= d
+    a2 = a.reshape(lb.N_LIMBS, mid * k)
+    t2 = t.reshape(lb.N_LIMBS, k)
+    out = _mul_tiled_call(field.name, mid, k, _TILE)(
+        a2, t2, _field_consts(field.name))
+    return out.reshape(a.shape)
+
+
 def butterfly(field, lo, hi, tw):
     """lo/hi: (16, *mid, half); tw: (16, half). Returns (u, v) or None."""
     if not _ENABLED or not _backend_is_tpu():

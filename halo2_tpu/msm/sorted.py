@@ -22,6 +22,7 @@ This is the TPU answer to the reference's per-GPU bucket kernels
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,59 +119,62 @@ def _prefix_scan_group(px_s, py_s, block: int):
 
     init = g1.identity((G, B))
     totals, intra = jax.lax.scan(step, init, (pxr, pyr))
-    # exclusive block offsets: work-efficient (Blelloch) exclusive scan of
-    # the B block totals — 2(B-1) point adds total vs B*log2(B) for a
-    # Hillis–Steele ladder; rounds are Python-unrolled with static shrinking
-    # slice shapes so the saved work is real (no masked full-width ops)
-    excl = _blelloch_exclusive(totals)
+    excl = _exclusive_scan_points(totals)
     return intra, excl
 
 
-def _blelloch_exclusive(totals):
+def _shift_fill_identity(pts, s):
+    """Shift points right by s along the last axis, identity-filling."""
+    rolled = tuple(jnp.roll(c, s, axis=-1) for c in pts)
+    batch_shape = pts[2].shape[1:]
+    pos = jax.lax.broadcasted_iota(jnp.int32, batch_shape,
+                                   len(batch_shape) - 1)
+    ident = g1.identity(batch_shape)
+    return g1.select(pos >= s, rolled, ident)
+
+
+def _exclusive_scan_points(totals):
     """Exclusive prefix scan of points along the last axis (length B, a
-    power of two).  totals: 3 coords of (16, G, B).  Returns same shapes."""
+    power of two).  totals: 3 coords of (16, G, B).
+
+    Hillis–Steele ladder as a ``lax.scan`` over log2(B) doubling shifts:
+    the body (one full-width fused point add + a roll/select) compiles
+    ONCE — an unrolled work-efficient tree costs ~20 distinct-shape XLA
+    programs and minutes of compile for the same few ms of runtime."""
     B = totals[0].shape[-1]
     if B == 1:
         return g1.identity(totals[2].shape[1:])
     log_b = B.bit_length() - 1
+    x = _shift_fill_identity(totals, 1)   # make it exclusive first
 
-    def pair_view(t, s):
-        # (16, G, B) -> (16, G, B/(2s), 2s)
-        return tuple(c.reshape(c.shape[:-1] + (B // (2 * s), 2 * s))
-                     for c in t)
+    def body(x, s):
+        return g1.add(x, _shift_fill_identity(x, s)), None
 
-    def unview(t):
-        return tuple(c.reshape(c.shape[:-2] + (B,)) for c in t)
-
-    x = totals
-    # upsweep: hi += lo at strides 1, 2, ..., B/2
-    for d in range(log_b):
-        s = 1 << d
-        v = pair_view(x, s)
-        lo = tuple(c[..., s - 1] for c in v)
-        hi = tuple(c[..., 2 * s - 1] for c in v)
-        new_hi = g1.add(hi, lo)
-        x = unview(tuple(
-            jnp.concatenate([c[..., :2 * s - 1], nh[..., None]], axis=-1)
-            for c, nh in zip(v, new_hi)))
-    # clear root, downsweep: (lo, hi) <- (hi, hi + lo)
-    ident = g1.identity(x[2].shape[1:-1] + (1,))
-    x = tuple(jnp.concatenate([c[..., :B - 1], i0], axis=-1)
-              for c, i0 in zip(x, ident))
-    for d in range(log_b - 1, -1, -1):
-        s = 1 << d
-        v = pair_view(x, s)
-        lo = tuple(c[..., s - 1] for c in v)
-        hi = tuple(c[..., 2 * s - 1] for c in v)
-        new_hi = g1.add(hi, lo)
-        parts = []
-        for c, nl, nh in zip(v, hi, new_hi):
-            seg = [c[..., :s - 1], nl[..., None]] if s > 1 else [nl[..., None]]
-            seg += ([c[..., s:2 * s - 1], nh[..., None]] if s > 1
-                    else [nh[..., None]])
-            parts.append(jnp.concatenate(seg, axis=-1))
-        x = unview(tuple(parts))
+    shifts = jnp.asarray([1 << d for d in range(log_b)], jnp.int32)
+    x, _ = jax.lax.scan(body, x, shifts)
     return x
+
+
+def _pairfold_sum(pts):
+    """Sum points along the last axis (length W, a power of two) with a
+    CONSTANT-SHAPE halving fold: each round adds adjacent pairs into the
+    first W/2 slots and identity-fills the rest, so the ``lax.scan`` body
+    compiles once (log2(W) rounds)."""
+    W = pts[0].shape[-1]
+    if W == 1:
+        return tuple(c[..., 0] for c in pts)
+    rounds = W.bit_length() - 1
+
+    def body(x, _):
+        v = tuple(c.reshape(c.shape[:-1] + (W // 2, 2)) for c in x)
+        s = g1.add(tuple(c[..., 0] for c in v), tuple(c[..., 1] for c in v))
+        ident = g1.identity(s[2].shape[1:])
+        out = tuple(jnp.concatenate([sc, ic], axis=-1)
+                    for sc, ic in zip(s, ident))
+        return out, None
+
+    x, _ = jax.lax.scan(body, pts, None, length=rounds)
+    return tuple(c[..., 0] for c in x)
 
 
 def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
@@ -222,30 +226,29 @@ def _abel_window_totals(e_pts, nb: int):
     M = nb - 1 (Abel summation over bucket boundary prefixes)."""
     ex, ey, ez = e_pts
     M = nb - 1
-    # sum_{b=0..M-1}: drop the last slot then tree-sum (M is a power of two
-    # for both the unsigned path, nb = 256 -> pad-with-identity to 256, and
-    # the signed path, nb = 2^(c-1)+1 -> M = 2^(c-1))
-    from halo2_tpu.msm.msm import _tree_sum_last_axis
+    # sum_{b=0..M-1}: drop the last slot then constant-shape pair-fold
+    # (M is a power of two for both the unsigned path, nb = 256, and the
+    # signed path, nb = 2^(c-1)+1 -> M = 2^(c-1))
     if M & (M - 1) == 0:
-        s_sum = _tree_sum_last_axis((ex[..., :M], ey[..., :M], ez[..., :M]))
+        s_sum = _pairfold_sum((ex[..., :M], ey[..., :M], ez[..., :M]))
     else:
         ix, iy, iz = g1.identity(ez.shape[1:-1] + (1,))
         pad = (1 << M.bit_length()) - M
         sx = jnp.concatenate([ex[..., :M]] + [ix] * pad, axis=-1)
         sy = jnp.concatenate([ey[..., :M]] + [iy] * pad, axis=-1)
         sz = jnp.concatenate([ez[..., :M]] + [iz] * pad, axis=-1)
-        s_sum = _tree_sum_last_axis((sx, sy, sz))
+        s_sum = _pairfold_sum((sx, sy, sz))
     e_last = (ex[..., M], ey[..., M], ez[..., M])
     if M & (M - 1) == 0:
-        # M * E_M via log2(M) doublings
-        acc = e_last
-        for _ in range(M.bit_length() - 1):
-            acc = g1.double(acc)
+        # M * E_M via log2(M) doublings (lax.scan: one doubling body)
+        def dbl(acc, _):
+            return g1.double(acc), None
+        acc, _ = jax.lax.scan(dbl, e_last, None, length=M.bit_length() - 1)
     else:
         # M * E_M = 2^ceil * E - (2^ceil - M) * E; only used for M = 255:
-        acc = e_last
-        for _ in range(M.bit_length()):
-            acc = g1.double(acc)
+        def dbl(acc, _):
+            return g1.double(acc), None
+        acc, _ = jax.lax.scan(dbl, e_last, None, length=M.bit_length())
         acc = g1.add(acc, g1.neg(e_last))
     return g1.add(acc, g1.neg(s_sum))
 
@@ -293,8 +296,6 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
     dg = mag.reshape(n_groups, group, n)
     sg = neg.reshape(n_groups, group, n)
 
-    py_neg = Fq.raw.neg(py)
-
     def one_group(_, ds):
         d, s = ds  # (G, n) magnitudes, (G, n) sign flags
         order = jnp.argsort(d, axis=1, stable=True)
@@ -304,9 +305,9 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
             N_LIMBS, group, n)
         py_pos = jnp.take(py, order.reshape(-1), axis=1).reshape(
             N_LIMBS, group, n)
-        py_min = jnp.take(py_neg, order.reshape(-1), axis=1).reshape(
-            N_LIMBS, group, n)
-        py_s = jnp.where(s_sorted[None], py_min, py_pos)
+        # negate post-gather (a field sub is cheaper than a third
+        # (16, G*n) gather of a precomputed -y array)
+        py_s = jnp.where(s_sorted[None], Fq.raw.neg(py_pos), py_pos)
         intra, excl = _prefix_scan_group(px_s, py_s, block)
         bvals = jnp.arange(nb, dtype=jnp.int32)
         ends = jax.vmap(
@@ -334,10 +335,20 @@ def _msm_sorted_jit(n: int, max_bits: int, group: int, block: int):
 
 
 def _auto_group(n: int, num_windows: int) -> int:
-    """Windows per shared scan: prefer the largest g <= 8 with the least
-    padding waste (padded windows are dead scan work)."""
+    """Windows per shared scan.
+
+    Prefer ONE group of all windows — every sequential round (prefix-scan
+    step, Hillis–Steele level, Abel fold) then runs at num_windows * block
+    lane width, and the round count stops scaling with the window count.
+    The cap is HBM: the intra-block prefix buffer + sorted point copies
+    cost ~320 * G * n bytes, so G shrinks for very large n."""
+    budget = int(os.environ.get("HALO2_TPU_MSM_MEM", str(3 << 30)))
+    g_max = max(1, min(num_windows, budget // (320 * max(n, 1))))
+    if g_max >= num_windows:
+        return num_windows
+    # least padding waste among feasible sizes (padded windows are dead work)
     best = (num_windows + 1, -1)
-    for g in range(1, min(8, num_windows) + 1):
+    for g in range(1, g_max + 1):
         pad = (-num_windows) % g
         if (pad, -g) < best:
             best = (pad, -g)

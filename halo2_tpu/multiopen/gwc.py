@@ -50,7 +50,7 @@ def create_proof(params, transcript, queries):
         stack = jnp.stack([q.poly for q in group], axis=1)
         batch = _fold_polys(stack, v_l)
         witness = kate_division(batch, z)
-        proj = msm((params.g[0], params.g[1]), witness)
+        proj = params.commit(witness)
         aff = g1.to_affine(tuple(c[:, None] for c in proj))
         w = g1.decode_points(jnp.stack(aff))[0]
         transcript.write_point(w)

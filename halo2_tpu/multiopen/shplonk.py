@@ -124,7 +124,7 @@ def _fold_sub(polys, sub_coeffs, chal):
 
 
 def _commit_coeff(params, coeffs):
-    proj = msm((params.g[0], params.g[1]), coeffs)
+    proj = params.commit(coeffs)
     aff = g1.to_affine(tuple(c[:, None] for c in proj))
     return g1.decode_points(jnp.stack(aff))[0]
 

@@ -11,8 +11,14 @@ decomposition over ICI collectives (the plan in SURVEY.md §7):
     4. `all_to_all` transpose back so the output X[k2*N1 + k1] is sharded
        contiguously on k2 — natural order, ready for elementwise stages.
 
-Everything inside is the constant-geometry scan NTT (ntt.py), so the whole
-distributed transform is one jittable shard_map program.
+Each local NTT is itself the single-chip four-step transform (ntt.py), so
+the whole distributed transform is one jittable shard_map program.
+
+`local_forward` / `local_inverse` are the shard-local bodies: they use
+`lax.all_to_all` / `axis_index` against the mesh axis name and can be
+composed inside an ENCLOSING shard_map (e.g. the sharded h-evaluator,
+plonk/evaluator_sharded.py) — shard_map does not nest, so composition
+happens at the local-body level.
 """
 
 from __future__ import annotations
@@ -30,15 +36,19 @@ except ImportError:
 
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.fields.limbs import N_LIMBS
-from halo2_tpu.ntt.ntt import NTT, get_ntt
+from halo2_tpu.ntt.ntt import NTT, get_ntt, powers_table_np
 
 F = Fr.raw
 
 
 class DistNTT:
-    """Four-step NTT of size 2^log_n over mesh axis `axis` with D devices."""
+    """Four-step NTT of size 2^log_n over mesh axis `axis` with D devices.
 
-    def __init__(self, log_n: int, mesh: Mesh, axis: str = "x"):
+    Supports leading batch dims: arrays are (16, *B, n) flat or
+    (16, *B, n1, n2/D) shard-local."""
+
+    def __init__(self, log_n: int, mesh: Mesh, axis: str = "x",
+                 omega: int | None = None):
         self.log_n = log_n
         self.n = 1 << log_n
         self.mesh = mesh
@@ -52,59 +62,92 @@ class DistNTT:
         assert min(self.log_n1, self.log_n2) >= self.log_d, \
             "n too small for this device count"
         self.n1, self.n2 = 1 << self.log_n1, 1 << self.log_n2
-        self.ntt1 = get_ntt(self.log_n1)
-        self.ntt2 = get_ntt(self.log_n2)
-        self.omega = get_ntt(log_n).omega
-        self._fwd = None
+        base = get_ntt(log_n) if omega is None else NTT(log_n, omega)
+        self.omega = base.omega
+        self.omega_inv = base.omega_inv
+        self.n_inv = base.n_inv
+        self.ntt1 = NTT(self.log_n1, pow(self.omega, self.n2, Fr.p))
+        self.ntt2 = NTT(self.log_n2, pow(self.omega, self.n1, Fr.p))
+        self.ntt1_inv_root = NTT(self.log_n1, pow(self.omega_inv, self.n2, Fr.p))
+        self.ntt2_inv_root = NTT(self.log_n2, pow(self.omega_inv, self.n1, Fr.p))
+
+    @functools.cached_property
+    def _tw_full(self):
+        return powers_table_np(self.omega, self.n, Fr.p, Fr.to_mont_int)
+
+    @functools.cached_property
+    def _tw_full_inv(self):
+        return powers_table_np(self.omega_inv, self.n, Fr.p, Fr.to_mont_int)
 
     # ------------------------------------------------------------------
-    def _local_fwd(self, x_local, tw_full):
-        """x_local: (16, n1, n2/D) — this device's column slice."""
+    def _local_transform(self, x_local, tw_full, ntt_row, ntt_col):
+        """Shard-local four-step body. x_local: (16, *B, n1, n2/D) — this
+        device's column slice of the (n1, n2) view.  Returns
+        (16, *B, (n2/D)*n1): the k2-contiguous shard of the flat output."""
         n1, n2, D = self.n1, self.n2, self.D
         me = jax.lax.axis_index(self.axis)
+        nd = x_local.ndim
+        ax_r, ax_c = nd - 2, nd - 1
 
-        # step 1: length-n1 NTTs along axis 1 (transpose to put it last)
-        a = x_local.transpose(0, 2, 1)                 # (16, n2/D, n1)
-        a = self.ntt1.forward_traced(a)                # NTT along last axis
-        a = a.transpose(0, 2, 1)                       # (16, n1, n2/D) = B[k1, i2]
+        # step 1: length-n1 NTTs along the row axis
+        a = jnp.swapaxes(x_local, ax_r, ax_c)          # (16,*B, n2/D, n1)
+        a = ntt_row.forward_traced(a)
+        a = jnp.swapaxes(a, ax_r, ax_c)                # (16,*B, n1, n2/D) = B[k1, i2]
 
         # step 2: twiddle w^(k1 * i2), i2 = local + offset
         k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2 // D), 0)
-        i2 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2 // D), 1) + me * (n2 // D)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2 // D), 1) \
+            + me * (n2 // D)
         idx = (k1 * i2) % self.n
-        tw = jnp.take(tw_full, idx.reshape(-1), axis=1).reshape(N_LIMBS, n1, n2 // D)
+        tw = jnp.take(jnp.asarray(tw_full), idx.reshape(-1), axis=1)
+        tw = tw.reshape((N_LIMBS,) + (1,) * (nd - 3) + (n1, n2 // D))
         a = F.mul(a, tw)
 
         # step 3: transpose shard k1 <- i2, local length-n2 NTTs
-        a = jax.lax.all_to_all(a, self.axis, split_axis=1, concat_axis=2,
-                               tiled=True)             # (16, n1/D, n2)
-        a = self.ntt2.forward_traced(a)                # C[k1_local, k2]
+        a = jax.lax.all_to_all(a, self.axis, split_axis=ax_r,
+                               concat_axis=ax_c, tiled=True)  # (16,*B, n1/D, n2)
+        a = ntt_col.forward_traced(a)                  # C[k1_local, k2]
 
         # step 4: transpose back so output is sharded on k2 blocks:
         # X[k2*n1 + k1] = C[k1, k2]
-        a = a.transpose(0, 2, 1)                       # (16, n2, n1/D)
-        a = jax.lax.all_to_all(a, self.axis, split_axis=1, concat_axis=2,
-                               tiled=True)             # (16, n2/D, n1)
-        return a.reshape(N_LIMBS, (n2 // D) * n1)
+        a = jnp.swapaxes(a, ax_r, ax_c)                # (16,*B, n2, n1/D)
+        a = jax.lax.all_to_all(a, self.axis, split_axis=ax_r,
+                               concat_axis=ax_c, tiled=True)  # (16,*B, n2/D, n1)
+        return a.reshape(a.shape[:-2] + ((n2 // D) * n1,))
+
+    def local_forward(self, x_local):
+        """Forward transform of this device's (16, *B, n1, n2/D) slice."""
+        return self._local_transform(x_local, self._tw_full,
+                                     self.ntt1, self.ntt2)
+
+    def local_inverse_nodiv(self, x_local):
+        """Inverse transform (no 1/n divisor) of the local slice."""
+        return self._local_transform(x_local, self._tw_full_inv,
+                                     self.ntt1_inv_root, self.ntt2_inv_root)
+
+    def local_slice_from_flat(self, x_flat, local_ndim_check=True):
+        """(16, *B, n) replicated -> (16, *B, n1, n2/D) local column slice.
+
+        The (n1, n2) view of the flat array is x[i1*n2 + i2] = view[i1, i2];
+        device d owns columns [d*n2/D, (d+1)*n2/D).  Call inside shard_map."""
+        n1, n2, D = self.n1, self.n2, self.D
+        me = jax.lax.axis_index(self.axis)
+        v = x_flat.reshape(x_flat.shape[:-1] + (n1, n2))
+        return jax.lax.dynamic_slice_in_dim(v, me * (n2 // D), n2 // D,
+                                            axis=v.ndim - 1)
 
     # ------------------------------------------------------------------
     @functools.cached_property
     def forward_sharded(self):
-        """jitted fn: (16, n) sharded array -> (16, n) sharded evaluations.
-
-        Input layout: x[i1*n2 + i2] viewed as (n1, n2) sharded on i2 via a
-        (16, n1, n2) reshape; pass a flat (16, n) array with
-        NamedSharding(mesh, P(None, axis)) on the reshaped view."""
-        from halo2_tpu.ntt.ntt import powers_table_np
-        tw_full = powers_table_np(self.omega, self.n, Fr.p, Fr.to_mont_int)
-
+        """jitted fn: (16, n) array -> (16, n) evaluations sharded on the
+        mesh axis (natural order, contiguous blocks per device)."""
         spec_in = Pspec(None, None, self.axis)
         spec_out = Pspec(None, self.axis)
 
         def run(x):
             x3 = x.reshape(N_LIMBS, self.n1, self.n2)
             body = shard_map(
-                lambda xl: self._local_fwd(xl, tw_full),
+                self.local_forward,
                 mesh=self.mesh,
                 in_specs=(spec_in,),
                 out_specs=spec_out,
@@ -118,5 +161,3 @@ class DistNTT:
         """x: (16, n) replicated-or-sharded device array, natural coeff
         order.  Returns evaluations in natural order (sharded on rows)."""
         return self.forward_sharded(x)
-
-

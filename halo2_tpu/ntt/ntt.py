@@ -5,20 +5,26 @@ The reference's FFTs are `best_fft_cpu` (recursive rayon radix-2,
 `radix_fft` kernel (staged radix-2^8, SURVEY.md §2.9).  This module is a
 fresh design for XLA:
 
-  * **Constant-geometry (Pease) radix-2 DIF**: every stage applies the SAME
-    program — split (lo, hi) halves, butterfly, interleave — so the whole
-    transform is ONE ``lax.scan`` over log2(n) stages.  Compile time is flat
-    in n (a single butterfly body), and there is no data-dependent control
-    flow or dynamic shape anywhere.
-  * Stage s pairs lanes (i, i + n/2) and uses twiddle w^{2^s * (i >> s)};
-    the twiddle vector is gathered per stage from the cached full power
-    table, with indices computed in-body from the stage counter.
-  * The final bit-reverse reordering is a single static gather.
+  * **Four-step (Bailey) decomposition, sublane-axis butterflies.**
+    n = n1*n2; view the input as (n2, n1) [i2 rows, i1 lanes], run an
+    n2-point NTT along the ROW axis (per lane column), multiply by the mid
+    twiddles w^{i1*k2}, transpose the two axes, run an n1-point NTT along
+    the row axis, and read the result flat — natural order, no final
+    bit-reverse gather over lanes.  The crucial TPU property: butterflies
+    pair *rows* (sublane direction), so every stage is full-lane-width
+    vector work and the data movement per stage is contiguous row copies —
+    never lane shuffles.  Lane-axis data movement happens exactly once, in
+    the middle transpose.
+  * Each small NTT is radix-2 DIF (natural order in, bit-reversed out; the
+    bit-reversal is a cheap row gather), with the fused Pallas butterfly
+    kernel doing u = lo + hi, v = (lo - hi) * w in VMEM.
+  * Stage twiddles are tiny (16, h) tables; the mid twiddle table is the
+    only n-sized constant (same footprint as a classic full power table).
 
 Transforms are along the LAST axis; arrays are limbs-leading
-``(16, *batch, n)`` so the transform axis sits on TPU lanes.
+``(16, *batch, n)``.
 
-Multi-chip: `halo2_tpu.ntt.distributed` implements the four-step variant
+Multi-chip: `halo2_tpu.ntt.distributed` implements the distributed variant
 (local NTTs + twiddle + all-to-all transpose) over a jax.sharding.Mesh.
 """
 
@@ -73,120 +79,157 @@ class NTT:
         self.omega_inv = pow(omega, Fr.p - 2, Fr.p)
         self.n_inv = pow(self.n, Fr.p - 2, Fr.p)
 
-        half = max(self.n // 2, 1)
-        self._tw_np = powers_table_np(omega, half, Fr.p, Fr.to_mont_int)
-        self._tw_inv_np = powers_table_np(self.omega_inv, half, Fr.p, Fr.to_mont_int)
-        self._rev_np = bit_reverse_indices(log_n)
-        self._tw_dev = None
-        self._tw_inv_dev = None
+        # four-step split: n = n1 * n2, n1 = 2^ceil(L/2) on lanes first
+        self.l1 = (log_n + 1) // 2
+        self.n1 = 1 << self.l1
+        self.n2 = self.n >> self.l1
 
-    # NOTE: these are host numpy arrays on purpose — inside a jit trace they
-    # are embedded as program constants; materializing jnp arrays lazily from
-    # a cached_property inside someone else's trace would leak tracers.
-    @property
-    def twiddles(self):
-        return self._tw_np
-
-    @property
-    def twiddles_inv(self):
-        return self._tw_inv_np
-
-    @property
-    def rev(self):
-        return self._rev_np
+        self._tables_np_cache = {}
+        self._tables_dev_cache = {}
 
     @functools.cached_property
     def n_inv_mont(self):
         return Fr.encode_scalar(self.n_inv)
 
-    def _tw_device(self, inverse: bool):
-        """Device-resident twiddle table (materialized eagerly, never
-        inside someone's trace — avoids tracer leaks and giant folded
-        constants)."""
-        if inverse:
-            if self._tw_inv_dev is None:
-                self._tw_inv_dev = jax.device_put(self._tw_inv_np)
-            return self._tw_inv_dev
-        if self._tw_dev is None:
-            self._tw_dev = jax.device_put(self._tw_np)
-        return self._tw_dev
+    # -- twiddle tables -----------------------------------------------------
+    def _tables_np(self, inverse: bool):
+        """Numpy table pytree for one direction (cached).
+
+        {'inner': [(16, h) per stage of the n2-point NTT],
+         'outer': [(16, h) per stage of the n1-point NTT],
+         'mid':   (16, n2, n1) w^{i1*k2},
+         'rev1':  (n1,) bit-reverse, 'rev2': (n2,)}
+        """
+        if inverse in self._tables_np_cache:
+            return self._tables_np_cache[inverse]
+        w = self.omega_inv if inverse else self.omega
+        n, n1, n2 = self.n, self.n1, self.n2
+        # full power table once (O(n) bigint muls), then slice/gather
+        full = powers_table_np(w, max(n, 1), Fr.p, Fr.to_mont_int)  # (16, n)
+
+        def stage_tables(m: int, root_step: int):
+            # m-point NTT with root w^root_step; stage s twiddle
+            # tw[j] = (w^root_step)^(j * 2^s), j in [0, m >> (s+1))
+            out = []
+            L = m.bit_length() - 1
+            for s in range(L):
+                h = m >> (s + 1)
+                idx = (np.arange(h, dtype=np.int64) << s) * root_step % n
+                out.append(np.ascontiguousarray(full[:, idx]))
+            return out
+
+        i1 = np.arange(n1, dtype=np.int64)
+        k2 = np.arange(n2, dtype=np.int64)
+        mid_idx = (k2[:, None] * i1[None, :]) % n          # (n2, n1)
+        tables = {
+            "inner": stage_tables(n2, n1),
+            "outer": stage_tables(n1, n2),
+            "mid": np.ascontiguousarray(
+                full[:, mid_idx.reshape(-1)].reshape(N_LIMBS, n2, n1)),
+            "rev1": bit_reverse_indices(self.l1),
+            "rev2": bit_reverse_indices(self.log_n - self.l1),
+        }
+        self._tables_np_cache[inverse] = tables
+        return tables
+
+    def _tables_dev(self, inverse: bool):
+        if inverse not in self._tables_dev_cache:
+            self._tables_dev_cache[inverse] = jax.tree_util.tree_map(
+                jax.device_put, self._tables_np(inverse))
+        return self._tables_dev_cache[inverse]
 
     # ------------------------------------------------------------------
-    def _transform(self, a, twiddles):
-        """Constant-geometry radix-2 DIF along the last axis.
+    @staticmethod
+    def _small_ntt(x, stage_tws, rev):
+        """Radix-2 DIF along axis 2. x: (16, B, m, w); natural order in,
+        natural order out (bit-reversal undone by a row gather).
 
-        a: (16, *mid, n) limb array; returns same shape, natural order.
-
-        Stages are UNROLLED with gather-free twiddles: stage s needs
-        T_s[i] = w^(2^s * (i >> s)) = full[(i >> s) << s] — a strided slice
-        of the power table with each entry repeated 2^s times (pure
-        reshape/broadcast; a per-stage n/2 gather measured ~50ms at 2^18).
-        The fused butterfly Pallas kernel is shape-identical across stages,
-        so it compiles once."""
-        n, L = self.n, self.log_n
-        if n == 1:
-            return a
-        half = n // 2
-        mid_ndim = a.ndim - 2
-        shape = a.shape
+        Butterflies pair ROWS: stage s splits each 2h-row block into
+        (lo, hi) halves — contiguous row slices, full lane width — and the
+        fused Pallas butterfly computes u = lo+hi, v = (lo-hi)*tw in VMEM.
+        """
         from halo2_tpu.fields import pallas_ops
-
-        y = a
-        for s in range(L):
-            lo = y[..., :half]
-            hi = y[..., half:]
-            step = 1 << s
-            sub = twiddles[:, ::step]                      # (16, half/step)
-            tw = jnp.broadcast_to(
-                sub[:, :, None],
-                (N_LIMBS, half // step, step)).reshape(N_LIMBS, half)
-            fused = pallas_ops.butterfly(Fr, lo, hi, tw)
+        L = len(stage_tws)
+        if L == 0:
+            return x
+        m = 1 << L
+        _, B, _, w = x.shape
+        for s, tw in enumerate(stage_tws):
+            h = m >> (s + 1)
+            blocks = 1 << s
+            xb = x.reshape(N_LIMBS, B * blocks, 2, h * w)
+            lo = xb[:, :, 0, :]
+            hi = xb[:, :, 1, :]
+            # (16, h) -> (16, h*w): each twiddle repeated across the lane dim
+            twf = jnp.broadcast_to(
+                jnp.asarray(tw)[:, :, None], (N_LIMBS, h, w)
+            ).reshape(N_LIMBS, h * w)
+            fused = pallas_ops.butterfly(Fr, lo, hi, twf)
             if fused is not None:
                 u, v = fused
             else:
-                twb = tw.reshape((N_LIMBS,) + (1,) * mid_ndim + (half,))
                 u = F.add(lo, hi)
-                v = F.mul(F.sub(lo, hi), twb)
-            y = jnp.stack([u, v], axis=-1).reshape(shape)
-        return jnp.take(y, self.rev, axis=-1)
+                v = F.mul(F.sub(lo, hi), twf[:, None, :])
+            x = jnp.stack([u, v], axis=2).reshape(N_LIMBS, B, m, w)
+        return jnp.take(x, jnp.asarray(rev), axis=2)
+
+    def _transform(self, a, tables):
+        """Four-step NTT along the last axis. a: (16, *mid, n) Montgomery
+        limbs; returns the same shape, natural order."""
+        from halo2_tpu.fields import pallas_ops
+        n, n1, n2 = self.n, self.n1, self.n2
+        if n == 1:
+            return a
+        shape = a.shape
+        B = 1
+        for d in shape[1:-1]:
+            B *= d
+        x = a.reshape(N_LIMBS, B, n2, n1)                  # [i2, i1]
+        x = self._small_ntt(x, tables["inner"], tables["rev2"])  # -> [k2, i1]
+        mid = jnp.asarray(tables["mid"])                   # (16, n2, n1)
+        scaled = pallas_ops.mul_tiled(
+            Fr, x.reshape(N_LIMBS, B, n2 * n1), mid.reshape(N_LIMBS, n2 * n1))
+        if scaled is not None:
+            x = scaled.reshape(N_LIMBS, B, n2, n1)
+        else:
+            x = F.mul(x, mid[:, None])
+        x = jnp.swapaxes(x, 2, 3)                          # [i1, k2]
+        x = self._small_ntt(x, tables["outer"], tables["rev1"])  # -> [k1, k2]
+        return x.reshape(shape)
 
     @functools.cached_property
     def _fwd_jit(self):
-        return jax.jit(lambda a, tw: self._transform(a, tw))
+        return jax.jit(lambda a, tb: self._transform(a, tb))
 
     @functools.cached_property
     def _inv_jit(self):
-        def run(a, tw):
-            out = self._transform(a, tw)
+        def run(a, tb):
+            out = self._transform(a, tb)
             return F.mul(out, self.n_inv_mont.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
         return jax.jit(run)
 
     def forward(self, a):
         """Coefficients -> evaluations at {omega^i}. a: (16, *mid, n) Montgomery."""
-        return self._fwd_jit(a, self._tw_device(False))
+        return self._fwd_jit(a, self._tables_dev(False))
 
     def inverse(self, a):
         """Evaluations -> coefficients (divides by n)."""
-        return self._inv_jit(a, self._tw_device(True))
+        return self._inv_jit(a, self._tables_dev(True))
 
     def inverse_nodiv(self, a):
         """Inverse transform WITHOUT the 1/n divisor (callers fold the
         divisor into other constants, like the reference's ifft_divisor,
         /root/reference/halo2_proofs/src/poly/domain.rs:124-131)."""
-        return self._fwd_nodiv_jit(a, self._tw_device(True))
-
-    @functools.cached_property
-    def _fwd_nodiv_jit(self):
-        return jax.jit(lambda a, tw: self._transform(a, tw))
+        return self._fwd_jit(a, self._tables_dev(True))
 
     # traceable versions for composition inside larger jitted programs.
     # Twiddles enter as numpy trace constants here (the caller's program
-    # owns them); the unrolled strided slices keep them un-folded.
+    # owns them and XLA keeps them as literals).
     def forward_traced(self, a):
-        return self._transform(a, self.twiddles)
+        return self._transform(a, self._tables_np(False))
 
     def inverse_traced(self, a):
-        out = self._transform(a, self.twiddles_inv)
+        out = self._transform(a, self._tables_np(True))
         return F.mul(out, self.n_inv_mont.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
 
 

@@ -7,9 +7,9 @@ with a Belady buffer cache, the gate programs + permutation/logup/shuffle
 terms are traced ONCE into a single jitted XLA program over the extended
 domain:
   * every referenced column's extended-coset form is produced by the batched
-    constant-geometry NTT (one call for all columns of a kind) — the
-    "materialize each unit exactly once" discipline the GPU path's unit
-    cache approximates (evaluation_gpu.rs:327-468) falls out naturally;
+    four-step NTT (one call for all columns of a kind) — the "materialize
+    each unit exactly once" discipline the GPU path's unit cache
+    approximates (evaluation_gpu.rs:327-468) falls out naturally;
   * rotations are `jnp.roll` by rot << (ext_k - k) (get_rotation_idx,
     evaluation.rs:40-42);
   * XLA fuses the elementwise constraint chains, replacing the reference's
@@ -18,6 +18,10 @@ domain:
 The y-fold order matches the verifier exactly: gates, then permutation
 terms, then lookups (evaluation.rs:1088-1184 order), then shuffles
 (evaluation.rs:1186-1222) — verifier.rs:300-384.
+
+The constraint body `h_fold_body` is shared with the multi-chip sharded
+evaluator (plonk/evaluator_sharded.py), which swaps in distributed
+extension/rotation primitives under shard_map.
 """
 
 from __future__ import annotations
@@ -38,8 +42,129 @@ F = Fr.raw
 P = Fr.p
 
 
+def h_fold_body(cs, ctx, *, perm_z, lookup_m, lookup_z, shuffle_z,
+                l0, l_last, l_active, coset_x, sigmas, one,
+                roll_next, roll_last,
+                theta, beta, gamma, y, value):
+    """The full constraint y-fold, domain-layout-agnostic.
+
+    All column arrays are (16, C, L) for some local length L (the full
+    extended domain single-chip, or one shard of it); `roll_next`/
+    `roll_last` implement the two rotation offsets; expression rotations go
+    through ctx (eval_expr uses ctx.roll).  Order matches verifier.rs.
+    """
+    ymul = lambda v, t: F.add(F.mul(v, y[:, None]), t)  # noqa: E731
+    b = beta[:, None]
+    g = gamma[:, None]
+
+    # ---- gates -----------------------------------------------------
+    for gate in cs.gates:
+        for poly in gate.polys:
+            value = ymul(value, eval_expr(poly, ctx))
+
+    # ---- permutation (evaluation.rs:1004-1086) ---------------------
+    columns = cs.permutation.columns
+    if columns:
+        num_sets = perm_z.shape[1]
+        chunk_len = cs.degree() - 2
+        z = [perm_z[:, i, :] for i in range(num_sets)]
+        z_next = [roll_next(zi) for zi in z]
+        z_lastrot = [roll_last(zi) for zi in z]
+
+        value = ymul(value, F.mul(F.sub(one, z[0]), l0))
+        value = ymul(value, F.mul(F.sub(F.mul(z[-1], z[-1]), z[-1]), l_last))
+        for i in range(1, num_sets):
+            value = ymul(value, F.mul(F.sub(z[i], z_lastrot[i - 1]), l0))
+
+        def col_ext(column):
+            return {"advice": ctx.advice, "fixed": ctx.fixed,
+                    "instance": ctx.instance}[column.ctype][:, column.index, :]
+
+        beta_x = F.mul(b, coset_x)
+        for ci, start in enumerate(range(0, len(columns), chunk_len)):
+            chunk = columns[start: start + chunk_len]
+            left = z_next[ci]
+            for j, col in enumerate(chunk):
+                sig = sigmas(start + j)
+                left = F.mul(left, F.add(F.add(col_ext(col), F.mul(b, sig)), g))
+            right = z[ci]
+            for j, col in enumerate(chunk):
+                dlimb = jnp.asarray(Fr.encode_scalar(
+                    pow(perm_mod.DELTA, start + j, P)))
+                cur_delta = F.mul(beta_x, dlimb[:, None])
+                right = F.mul(right, F.add(F.add(col_ext(col), cur_delta), g))
+            value = ymul(value, F.mul(F.sub(left, right), l_active))
+
+    # ---- logup lookups (evaluation.rs:1088-1184) -------------------
+    z_off = 0
+    for li, lookup in enumerate(cs.lookups):
+        sets = lookup.input_expressions_sets
+        sets_len = len(sets)
+        zs = [lookup_z[:, z_off + i, :] for i in range(sets_len)]
+        z_off += sets_len
+        m_ext = lookup_m[:, li, :]
+        tau = F.add(compress_exprs(lookup.table_expressions, ctx, theta), b)
+
+        def phi_products(input_set):
+            phis = [F.add(compress_exprs(inputs, ctx, theta), b)
+                    for inputs in input_set]
+            prod = phis[0]
+            for p_ in phis[1:]:
+                prod = F.mul(prod, p_)
+            # sum_i prod_{j != i} phi_j
+            psum = None
+            for i in range(len(phis)):
+                term = None
+                for j, p_ in enumerate(phis):
+                    if j == i:
+                        continue
+                    term = p_ if term is None else F.mul(term, p_)
+                if term is None:
+                    term = one
+                psum = term if psum is None else F.add(psum, term)
+            return prod, psum
+
+        # l_0 * z_first ; l_last * z_last
+        value = ymul(value, F.mul(zs[0], l0))
+        value = ymul(value, F.mul(zs[-1], l_last))
+        # base set: ((z(gX)-z(X)) * tau + m) * prod(phi) - tau * sum_prods
+        prod0, psum0 = phi_products(sets[0])
+        dz = F.sub(roll_next(zs[0]), zs[0])
+        term = F.sub(F.mul(F.add(F.mul(dz, tau), m_ext), prod0),
+                     F.mul(tau, psum0))
+        value = ymul(value, F.mul(term, l_active))
+        # chaining
+        for i in range(1, sets_len):
+            value = ymul(value, F.mul(F.sub(zs[i], roll_last(zs[i - 1])), l0))
+        # extra sets
+        for i in range(1, sets_len):
+            prod_i, psum_i = phi_products(sets[i])
+            dz = F.sub(roll_next(zs[i]), zs[i])
+            term = F.sub(F.mul(dz, prod_i), psum_i)
+            value = ymul(value, F.mul(term, l_active))
+
+    # ---- shuffles (evaluation.rs:1186-1222) ------------------------
+    for gi, group in enumerate(cs.shuffles):
+        z = shuffle_z[:, gi, :]
+        # challenges beta^(i+1) per unit
+        input_prod, shuf_prod = None, None
+        chal = b
+        for unit in group.units:
+            a_c = F.add(compress_exprs(unit.input_expressions, ctx, theta), chal)
+            s_c = F.add(compress_exprs(unit.shuffle_expressions, ctx, theta), chal)
+            input_prod = a_c if input_prod is None else F.mul(input_prod, a_c)
+            shuf_prod = s_c if shuf_prod is None else F.mul(shuf_prod, s_c)
+            chal = F.mul(chal, b)
+        value = ymul(value, F.mul(F.sub(one, z), l0))
+        value = ymul(value, F.mul(F.sub(F.mul(z, z), z), l_last))
+        term = F.sub(F.mul(roll_next(z), shuf_prod), F.mul(z, input_prod))
+        value = ymul(value, F.mul(term, l_active))
+
+    return value
+
+
 class Evaluator:
-    """Compiled h(X) program for one proving key."""
+    """Compiled h(X) program for one proving key (single chip)."""
 
     def __init__(self, pk):
         self.pk = pk
@@ -77,133 +202,27 @@ class Evaluator:
             rot_scale=self.rot_scale,
             length=ext_n,
         )
-        perm_z = extend_batch(perm_zs_coeff)
-        lookup_m = extend_batch(lookup_ms_coeff)
-        lookup_z = extend_batch(lookup_zs_coeff)
-        shuffle_z = extend_batch(shuffle_zs_coeff)
+        bf = cs.blinding_factors()
 
         def roll_next(a):
             return jnp.roll(a, -self.rot_scale, axis=-1)
 
-        bf = cs.blinding_factors()
-
         def roll_last(a):
             return jnp.roll(a, (bf + 1) * self.rot_scale, axis=-1)
 
-        ymul = lambda v, t: F.add(F.mul(v, y[:, None]), t)  # noqa: E731
-        value = value_init
-        one = F.broadcast_scalar(Fr.r_np, (ext_n,))
-        l0 = pk.l0_extended
-        l_last = pk.l_last_extended
-        l_active = pk.l_active_extended
-        b = beta[:, None]
-        g = gamma[:, None]
-
-        # ---- gates -----------------------------------------------------
-        for gate in cs.gates:
-            for poly in gate.polys:
-                value = ymul(value, eval_expr(poly, ctx))
-
-        # ---- permutation (evaluation.rs:1004-1086) ---------------------
-        columns = cs.permutation.columns
-        if columns:
-            num_sets = perm_z.shape[1]
-            chunk_len = cs.degree() - 2
-            coset_x = jnp.asarray(self._coset_x_np)
-            z = [perm_z[:, i, :] for i in range(num_sets)]
-            z_next = [roll_next(zi) for zi in z]
-            z_lastrot = [roll_last(zi) for zi in z]
-
-            value = ymul(value, F.mul(F.sub(one, z[0]), l0))
-            value = ymul(value, F.mul(F.sub(F.mul(z[-1], z[-1]), z[-1]), l_last))
-            for i in range(1, num_sets):
-                value = ymul(value, F.mul(F.sub(z[i], z_lastrot[i - 1]), l0))
-
-            def col_ext(column):
-                return {"advice": ctx.advice, "fixed": ctx.fixed,
-                        "instance": ctx.instance}[column.ctype][:, column.index, :]
-
-            beta_x = F.mul(b, coset_x)
-            for ci, start in enumerate(range(0, len(columns), chunk_len)):
-                chunk = columns[start: start + chunk_len]
-                left = z_next[ci]
-                for j, col in enumerate(chunk):
-                    sig = pk.permutation_pk.sigmas_extended[:, start + j, :]
-                    left = F.mul(left, F.add(F.add(col_ext(col), F.mul(b, sig)), g))
-                right = z[ci]
-                for j, col in enumerate(chunk):
-                    dlimb = jnp.asarray(Fr.encode_scalar(
-                        pow(perm_mod.DELTA, start + j, P)))
-                    cur_delta = F.mul(beta_x, dlimb[:, None])
-                    right = F.mul(right, F.add(F.add(col_ext(col), cur_delta), g))
-                value = ymul(value, F.mul(F.sub(left, right), l_active))
-
-        # ---- logup lookups (evaluation.rs:1088-1184) -------------------
-        z_off = 0
-        for li, lookup in enumerate(cs.lookups):
-            sets = lookup.input_expressions_sets
-            sets_len = len(sets)
-            zs = [lookup_z[:, z_off + i, :] for i in range(sets_len)]
-            z_off += sets_len
-            m_ext = lookup_m[:, li, :]
-            tau = F.add(compress_exprs(lookup.table_expressions, ctx, theta), b)
-
-            def phi_products(input_set):
-                phis = [F.add(compress_exprs(inputs, ctx, theta), b)
-                        for inputs in input_set]
-                prod = phis[0]
-                for p_ in phis[1:]:
-                    prod = F.mul(prod, p_)
-                # sum_i prod_{j != i} phi_j
-                psum = None
-                for i in range(len(phis)):
-                    term = None
-                    for j, p_ in enumerate(phis):
-                        if j == i:
-                            continue
-                        term = p_ if term is None else F.mul(term, p_)
-                    if term is None:
-                        term = one
-                    psum = term if psum is None else F.add(psum, term)
-                return prod, psum
-
-            # l_0 * z_first ; l_last * z_last
-            value = ymul(value, F.mul(zs[0], l0))
-            value = ymul(value, F.mul(zs[-1], l_last))
-            # base set: ((z(gX)-z(X)) * tau + m) * prod(phi) - tau * sum_prods
-            prod0, psum0 = phi_products(sets[0])
-            dz = F.sub(roll_next(zs[0]), zs[0])
-            term = F.sub(F.mul(F.add(F.mul(dz, tau), m_ext), prod0),
-                         F.mul(tau, psum0))
-            value = ymul(value, F.mul(term, l_active))
-            # chaining
-            for i in range(1, sets_len):
-                value = ymul(value, F.mul(F.sub(zs[i], roll_last(zs[i - 1])), l0))
-            # extra sets
-            for i in range(1, sets_len):
-                prod_i, psum_i = phi_products(sets[i])
-                dz = F.sub(roll_next(zs[i]), zs[i])
-                term = F.sub(F.mul(dz, prod_i), psum_i)
-                value = ymul(value, F.mul(term, l_active))
-
-        # ---- shuffles (evaluation.rs:1186-1222) ------------------------
-        for gi, group in enumerate(cs.shuffles):
-            z = shuffle_z[:, gi, :]
-            # challenges beta^(i+1) per unit
-            input_prod, shuf_prod = None, None
-            chal = b
-            for unit in group.units:
-                a_c = F.add(compress_exprs(unit.input_expressions, ctx, theta), chal)
-                s_c = F.add(compress_exprs(unit.shuffle_expressions, ctx, theta), chal)
-                input_prod = a_c if input_prod is None else F.mul(input_prod, a_c)
-                shuf_prod = s_c if shuf_prod is None else F.mul(shuf_prod, s_c)
-                chal = F.mul(chal, b)
-            value = ymul(value, F.mul(F.sub(one, z), l0))
-            value = ymul(value, F.mul(F.sub(F.mul(z, z), z), l_last))
-            term = F.sub(F.mul(roll_next(z), shuf_prod), F.mul(z, input_prod))
-            value = ymul(value, F.mul(term, l_active))
-
-        return value
+        return h_fold_body(
+            cs, ctx,
+            perm_z=extend_batch(perm_zs_coeff),
+            lookup_m=extend_batch(lookup_ms_coeff),
+            lookup_z=extend_batch(lookup_zs_coeff),
+            shuffle_z=extend_batch(shuffle_zs_coeff),
+            l0=pk.l0_extended, l_last=pk.l_last_extended,
+            l_active=pk.l_active_extended,
+            coset_x=jnp.asarray(self._coset_x_np),
+            sigmas=lambda j: pk.permutation_pk.sigmas_extended[:, j, :],
+            one=F.broadcast_scalar(Fr.r_np, (ext_n,)),
+            roll_next=roll_next, roll_last=roll_last,
+            theta=theta, beta=beta, gamma=gamma, y=y, value=value_init)
 
     # ------------------------------------------------------------------
     def evaluate_h(self, advice_coeff, instance_coeff, perm_zs_coeff,

@@ -23,14 +23,22 @@ P = Fr.p
 
 
 class ExprCtx:
-    """Column stacks (16, C, length) + rotation scale for one domain."""
+    """Column stacks (16, C, length) + rotation scale for one domain.
 
-    def __init__(self, advice, fixed, instance, rot_scale: int, length: int):
+    `roll` rotates a (16, L) array left by `shift` rows in the GLOBAL
+    domain order — the default is a local jnp.roll; the sharded evaluator
+    injects a ppermute-aware version (length is then the LOCAL shard
+    length while rotations still mean global rotation)."""
+
+    def __init__(self, advice, fixed, instance, rot_scale: int, length: int,
+                 roll=None):
         self.advice = advice
         self.fixed = fixed
         self.instance = instance
         self.rot_scale = rot_scale
         self.length = length
+        self.roll = roll or (lambda col, shift:
+                             jnp.roll(col, -shift, axis=-1))
 
 
 def eval_expr(expr, ctx: ExprCtx):
@@ -41,7 +49,7 @@ def eval_expr(expr, ctx: ExprCtx):
                  InstanceQuery: ctx.instance}[type(expr)]
         col = stack[:, expr.column_index, :]
         if expr.rotation:
-            col = jnp.roll(col, -expr.rotation * ctx.rot_scale, axis=-1)
+            col = ctx.roll(col, expr.rotation * ctx.rot_scale)
         return col
     if isinstance(expr, Negated):
         return F.neg(eval_expr(expr.expr, ctx))

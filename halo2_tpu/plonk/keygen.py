@@ -26,7 +26,6 @@ from halo2_tpu.circuit import Assignment, Cell, FlatFloorPlanner, SimpleFloorPla
 from halo2_tpu.curves import g1
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.fields.limbs import N_LIMBS
-from halo2_tpu.msm import msm
 from halo2_tpu.plonk import permutation as perm_mod
 from halo2_tpu.plonk.circuit import Column, ConstraintSystem
 from halo2_tpu.plonk.evaluator import Evaluator
@@ -126,14 +125,24 @@ class ProvingKey:
         self.l_last_extended = l_last_extended
         self.l_active_extended = l_active_extended
         self.ev = Evaluator(self)
+        self._sharded_evs = {}
+
+    def sharded_ev(self, mesh, axis: str = "x"):
+        """Cached multi-chip h-evaluator (plonk/evaluator_sharded.py) for a
+        mesh; the prover selects it automatically when params.use_mesh is
+        set."""
+        key = (id(mesh), axis)
+        if key not in self._sharded_evs:
+            from halo2_tpu.plonk.evaluator_sharded import ShardedEvaluator
+            self._sharded_evs[key] = ShardedEvaluator(self, mesh, axis)
+        return self._sharded_evs[key]
 
 
 def _commit_columns_affine(params, cols_lagrange):
     """Commit each (16, n) lagrange column; returns host points."""
     out = []
     for i in range(cols_lagrange.shape[1]):
-        proj = msm((params.g_lagrange[0], params.g_lagrange[1]),
-                   cols_lagrange[:, i, :])
+        proj = params.commit_lagrange(cols_lagrange[:, i, :])
         aff = g1.to_affine(tuple(c[:, None] for c in proj))
         out.append(g1.decode_points(jnp.stack(aff))[0])
     return out

@@ -102,7 +102,6 @@ class PermutationPk:
 def build_keys(params, domain, assembly: Assembly):
     """Materialize sigma polynomials and their commitments."""
     from halo2_tpu.curves import g1
-    from halo2_tpu.msm import msm
 
     n = domain.n
     m = len(assembly.columns)
@@ -127,7 +126,7 @@ def build_keys(params, domain, assembly: Assembly):
 
     commitments = []
     for i in range(m):
-        proj = msm((params.g_lagrange[0], params.g_lagrange[1]), sig_lag[:, i, :])
+        proj = params.commit_lagrange(sig_lag[:, i, :])
         aff = g1.to_affine(tuple(c[:, None] for c in proj))
         commitments.append(g1.decode_points(jnp.stack(aff))[0])
 
@@ -183,7 +182,6 @@ def commit_z_polys(params, domain, cs, pkey: PermutationPk, value_cols,
 
     Returns (zs_lagrange list, commitments list of host points)."""
     from halo2_tpu.curves import g1
-    from halo2_tpu.msm import msm
 
     columns = cs.permutation.columns
     if not columns:
@@ -213,7 +211,7 @@ def commit_z_polys(params, domain, cs, pkey: PermutationPk, value_cols,
         z = z.at[:, n - bf:].set(jnp.asarray(Fr.encode(blinds)))
         last_z = z[:, n - (bf + 1)]
         zs.append(z)
-        proj = msm((params.g_lagrange[0], params.g_lagrange[1]), z)
+        proj = params.commit_lagrange(z)
         aff = g1.to_affine(tuple(c[:, None] for c in proj))
         commitments.append(g1.decode_points(jnp.stack(aff))[0])
     if os.environ.get("HALO2_TPU_SANITY_CHECKS", "") == "1" and zs:

@@ -34,7 +34,6 @@ from halo2_tpu.circuit import Assignment, Cell, SimpleFloorPlanner
 from halo2_tpu.curves import g1
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.fields.limbs import N_LIMBS
-from halo2_tpu.msm import msm
 from halo2_tpu.multiopen import ProverQuery
 from halo2_tpu.multiopen import gwc
 from halo2_tpu.plonk import logup_prover, permutation as perm_mod, shuffle_prover
@@ -94,9 +93,11 @@ class WitnessCollection(Assignment):
 
 
 def _commit_affine(params, values, max_bits=256, base="lagrange"):
-    bases = (params.g_lagrange[0], params.g_lagrange[1]) if base == "lagrange" \
-        else (params.g[0], params.g[1])
-    proj = msm(bases, values, max_bits=max_bits)
+    # routes through Params._msm: mesh-sharded when params.use_mesh is set
+    if base == "lagrange":
+        proj = params.commit_lagrange(values, max_bits=max_bits)
+    else:
+        proj = params.commit(values)
     aff = g1.to_affine(tuple(c[:, None] for c in proj))
     return g1.decode_points(jnp.stack(aff))[0]
 
@@ -342,11 +343,14 @@ def create_proof_multi(params, pk, circuits, instances_list,
                 else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
     _pm("iNTTs")
-    # 8. h evaluation — fold chains across proofs (evaluation.rs:900-1000)
+    # 8. h evaluation — fold chains across proofs (evaluation.rs:900-1000);
+    # sharded over the mesh when params.use_mesh is set
+    ev = (pk.sharded_ev(params.mesh, params.mesh_axis)
+          if getattr(params, "mesh", None) is not None else pk.ev)
     h_ext = None
     for p_i in range(num_proofs):
         flat_lz = [z for zset in lookup_z_coeffs[p_i] for z in zset]
-        h_ext = pk.ev.evaluate_h(
+        h_ext = ev.evaluate_h(
             advice_coeffs[p_i], instance_coeffs[p_i],
             stack_or_empty(perm_z_coeffs[p_i]),
             stack_or_empty(lookup_m_coeffs[p_i]),

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from halo2_tpu.curves import g1
 from halo2_tpu.fields.bn254 import Fr
-from halo2_tpu.msm import msm
 from halo2_tpu.poly.arith import eval_poly
 from halo2_tpu.poly.domain import Polynomial
 from halo2_tpu.utils.jitutil import maybe_jit
@@ -25,7 +24,7 @@ F = Fr.raw
 
 
 def _commit_coeff_affine(params, coeffs):
-    proj = msm((params.g[0], params.g[1]), coeffs)
+    proj = params.commit(coeffs)
     aff = g1.to_affine(tuple(c[:, None] for c in proj))
     return g1.decode_points(jnp.stack(aff))[0]
 

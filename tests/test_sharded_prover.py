@@ -1,0 +1,89 @@
+"""Multi-chip sharded prover on the virtual 8-device CPU mesh.
+
+The sharded pipeline (params.use_mesh: sharded commitment MSMs +
+row-sharded h-evaluation with distributed NTT extension and ppermute
+rotations) must produce byte-identical proofs to the single-chip path."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from halo2_tpu.plonk.keygen import keygen
+from halo2_tpu.plonk.prover import create_proof
+from halo2_tpu.plonk.verifier import verify_proof
+from halo2_tpu.poly.commitment import Params
+from halo2_tpu.fields.bn254 import Fr
+
+from tests.test_e2e import SimpleCircuit, expected_out
+
+P = Fr.p
+K = 6  # ext_k = 7 -> n1 = 8 >= 8 devices for the distributed NTT split
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("x",))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = Params.unsafe_setup(K, seed=7)
+    vk, pk = keygen(params, SimpleCircuit())
+    return params, vk, pk
+
+
+def test_sharded_proof_matches_single_chip(setup, mesh):
+    params, vk, pk = setup
+    a, b = 3, 5
+    out = expected_out(a, b)
+
+    proof_single = create_proof(params, pk, SimpleCircuit(a, b), [[out]],
+                                seed=0)
+
+    params.use_mesh(mesh)
+    # drop the size gate so the tiny test MSMs actually exercise the
+    # sharded path
+    old_gate = Params.MESH_MSM_MIN
+    Params.MESH_MSM_MIN = 1
+    try:
+        proof_sharded = create_proof(params, pk, SimpleCircuit(a, b), [[out]],
+                                     seed=0)
+    finally:
+        Params.MESH_MSM_MIN = old_gate
+        params.use_mesh(None)
+
+    assert proof_sharded == proof_single
+    pv = params.verifier(1)
+    assert verify_proof(pv, vk, [[out]], proof_sharded)
+
+
+def test_sharded_evaluator_matches_single(setup, mesh):
+    """Direct comparison of the two h-evaluators on random inputs."""
+    import jax.numpy as jnp
+    from halo2_tpu.fields.limbs import N_LIMBS
+
+    params, vk, pk = setup
+    n = 1 << K
+    rs = np.random.RandomState(3)
+
+    def rand_cols(c):
+        vals = [[int(v) for v in rs.randint(0, 1 << 30, size=n)]
+                for _ in range(c)]
+        return (jnp.stack([jnp.asarray(Fr.encode(col)) for col in vals],
+                          axis=1)
+                if c else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+
+    cs = vk.cs
+    advice = rand_cols(cs.num_advice_columns)
+    instance = rand_cols(cs.num_instance_columns)
+    num_sets = (len(cs.permutation.columns) + (cs.degree() - 2) - 1) \
+        // (cs.degree() - 2) if cs.permutation.columns else 0
+    perm_z = rand_cols(num_sets)
+    empty = rand_cols(0)
+
+    args = (advice, instance, perm_z, empty, empty, empty,
+            12345, 678, 910, 1112)
+    single = pk.ev.evaluate_h(*args)
+    sharded = pk.sharded_ev(mesh).evaluate_h(*args)
+    assert np.array_equal(np.asarray(single), np.asarray(sharded))
