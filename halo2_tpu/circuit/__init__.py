@@ -83,6 +83,20 @@ class Assignment:
         return False
 
 
+class Chip:
+    """Base class for chips — reusable circuit components that own a config
+    produced by their `configure` classmethod and drive a Layouter in their
+    instruction methods (circuit.rs:25-70).  Purely organizational: gadgets
+    compose chips, chips compose regions."""
+
+    def __init__(self, config):
+        self.config = config
+
+    @classmethod
+    def configure(cls, meta, *args, **kwargs):
+        raise NotImplementedError
+
+
 class Region:
     """A region view handed to user assignment closures."""
 
@@ -245,3 +259,233 @@ class FlatFloorPlanner:
     def synthesize(backend: Assignment, circuit, config, constants):
         layouter = SingleChipLayouter(backend, constants, flat=True)
         circuit.synthesize(config, layouter)
+
+
+# ---------------------------------------------------------------------------
+# V1 floor planner — upstream two-pass slot-in planner
+# (reference: circuit/floor_planner/v1.rs (605 LoC) + v1/strategy.rs (265)).
+#
+# Pass 1 measures every region's shape (columns touched x row count) on the
+# witness-free circuit; the strategy packs regions "biggest advice area
+# first" into the earliest rows where ALL the region's columns have a free
+# interval (first-fit with slack, strategy.rs:106-161); constants are then
+# placed into the leftover holes of the constants columns
+# (v1.rs:98-147).  Pass 2 replays synthesis with the planned region starts.
+# ---------------------------------------------------------------------------
+
+class NotEnoughColumnsForConstants(ValueError):
+    pass
+
+
+class _RegionShape:
+    __slots__ = ("index", "columns", "row_count")
+
+    def __init__(self, index: int):
+        self.index = index
+        self.columns: set[Column] = set()
+        self.row_count = 0
+
+
+class _NullBackend(Assignment):
+    """Measurement-pass backend: records nothing, satisfies every call."""
+
+    def __init__(self, shape: _RegionShape):
+        self._shape = shape
+
+    def enable_selector(self, selector, row):
+        pass
+
+    def assign_advice(self, column, row, value):
+        pass
+
+    def assign_fixed(self, column, row, value):
+        pass
+
+    def assign_advice_bulk(self, column, from_row, values):
+        self._shape.columns.add(column)
+
+    def copy(self, left, right):
+        pass
+
+    def query_instance(self, column, row):
+        return None
+
+
+class _ShapeRegionLayouter:
+    """Implements the _RegionLayouter interface, recording the region shape
+    instead of assigning (the MeasurementPass of v1.rs:248-320)."""
+
+    def __init__(self, shape: _RegionShape, layouter):
+        self.shape = shape
+        self.layouter = layouter
+        self.backend = _NullBackend(shape)
+
+    def _abs(self, offset: int) -> int:
+        self.shape.row_count = max(self.shape.row_count, offset + 1)
+        return offset
+
+    def assign_advice(self, column, offset, value) -> AssignedCell:
+        self.shape.columns.add(column)
+        return AssignedCell(Cell(column, self._abs(offset)), value)
+
+    def assign_fixed(self, column, offset, value) -> AssignedCell:
+        self.shape.columns.add(column)
+        return AssignedCell(Cell(column, self._abs(offset)), value)
+
+    def enable_selector(self, selector, offset):
+        self.shape.columns.add(selector.column)
+        self._abs(offset)
+
+    def constrain_constant(self, cell, constant):
+        pass
+
+
+class _V1MeasureLayouter:
+    """Layouter for the measurement pass: collects region shapes, skips
+    tables/instance/namespace work (v1.rs:188-245 Measurement arms)."""
+
+    def __init__(self):
+        self.shapes: list[_RegionShape] = []
+
+    def mark(self, column, row):
+        pass
+
+    def assign_region(self, name, fn):
+        shape = _RegionShape(len(self.shapes))
+        self.shapes.append(shape)
+        return fn(Region(_ShapeRegionLayouter(shape, self)))
+
+    def assign_table(self, name, fn):
+        return None
+
+    def constrain_instance(self, cell, instance, row):
+        pass
+
+    def constrain_constant(self, cell, constant):
+        pass
+
+    def namespace(self, name):
+        return self
+
+    def get_root(self):
+        return self
+
+
+def _free_intervals(alloc: list[tuple[int, int]], start: int, end):
+    """Unallocated nonempty intervals of a column intersecting [start, end).
+
+    alloc: sorted disjoint (start, length) pairs; end=None is unbounded.
+    Mirrors Allocations::free_intervals (strategy.rs:60-98).  Yields
+    (space_start, space_end_or_None)."""
+    row = start
+    for a_start, a_len in alloc:
+        if end is not None and a_start >= end:
+            return
+        if row < a_start:
+            yield (row, a_start)
+        row = max(row, a_start + a_len)
+    if end is None or row < end:
+        yield (row, end)
+
+
+def _first_fit_region(column_allocations, region_columns, region_length,
+                      start, slack):
+    """First-fit with slack across the region's columns
+    (strategy.rs:106-161).  Returns the start row, or None."""
+    if not region_columns:
+        return start
+    c, rest = region_columns[0], region_columns[1:]
+    end = None if slack is None else start + region_length + slack
+    alloc = column_allocations.setdefault(c, [])
+    for space_start, space_end in list(_free_intervals(alloc, start, end)):
+        s_slack = None if space_end is None else \
+            space_end - space_start - region_length
+        if s_slack is None or s_slack >= 0:
+            row = _first_fit_region(column_allocations, rest, region_length,
+                                    space_start, s_slack)
+            if row is not None:
+                alloc.append((row, region_length))
+                alloc.sort()
+                return row
+    return None
+
+
+def _slot_in_biggest_advice_first(shapes: list[_RegionShape]):
+    """Sort regions by advice area desc, first-fit each (strategy.rs:196-225).
+    Returns (starts_by_region_index, column_allocations)."""
+    order = sorted(
+        shapes,
+        key=lambda s: sum(1 for c in s.columns if c.ctype == "advice")
+        * s.row_count,
+        reverse=True)
+    column_allocations: dict[Column, list[tuple[int, int]]] = {}
+    starts = [0] * len(shapes)
+    for shape in order:
+        cols = sorted(shape.columns)
+        row = _first_fit_region(column_allocations, cols, shape.row_count,
+                                0, None)
+        starts[shape.index] = row
+    return starts, column_allocations
+
+
+class _V1AssignLayouter(SingleChipLayouter):
+    """Assignment pass: regions at planned starts; constants deferred to the
+    end-of-synthesis hole-filling placement (v1.rs:127-160)."""
+
+    def __init__(self, backend, constants, starts):
+        super().__init__(backend, constants, flat=False)
+        self._starts = starts
+        self._region_idx = 0
+        self.deferred_constants: list[tuple[int, Cell]] = []
+
+    def assign_region(self, name, fn):
+        start = self._starts[self._region_idx]
+        self._region_idx += 1
+        rl = _RegionLayouter(self, start)
+        self.backend.enter_region(name)
+        result = fn(Region(rl))
+        self.backend.exit_region()
+        return result
+
+    def constrain_constant(self, cell: Cell, constant: int):
+        if not self.constants:
+            raise ValueError("no constants column configured (enable_constant)")
+        self.deferred_constants.append((constant, cell))
+
+
+class V1FloorPlanner:
+    """Upstream two-pass planner: measure → slot-in pack → assign."""
+
+    @staticmethod
+    def synthesize(backend: Assignment, circuit, config, constants):
+        # Pass 1: measure the witness-free circuit.
+        measure = _V1MeasureLayouter()
+        circuit.without_witnesses().synthesize(config, measure)
+        starts, column_allocations = _slot_in_biggest_advice_first(
+            measure.shapes)
+
+        first_unassigned_row = max(
+            (a[-1][0] + a[-1][1] for a in column_allocations.values() if a),
+            default=0)
+
+        # Pass 2: assign regions at their planned starts.
+        layouter = _V1AssignLayouter(backend, constants, starts)
+        circuit.synthesize(config, layouter)
+
+        # Place constants into the holes of the constants columns below the
+        # first unassigned row (v1.rs:98-147).
+        consts = layouter.deferred_constants
+        if consts:
+            positions = []
+            for col in constants:
+                alloc = column_allocations.get(col, [])
+                for s, e in _free_intervals(alloc, 0, first_unassigned_row):
+                    positions.extend((col, r) for r in range(s, e))
+            if len(positions) < len(consts):
+                raise NotEnoughColumnsForConstants(
+                    f"{len(consts)} constants, {len(positions)} free rows")
+            consts.sort(key=lambda pc: (pc[1].column, pc[1].row))
+            for (col, row), (value, cell) in zip(positions, consts):
+                backend.assign_fixed(col, row, value)
+                layouter.mark(col, row)
+                backend.copy(Cell(col, row), cell)

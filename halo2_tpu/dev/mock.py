@@ -84,7 +84,7 @@ class MockProver:
         self.n = n
 
     @classmethod
-    def run(cls, k: int, circuit, instances) -> "MockProver":
+    def run(cls, k: int, circuit, instances, floor_planner=None) -> "MockProver":
         cs = ConstraintSystem()
         config = circuit.configure(cs)
         cs.chunk_lookups()
@@ -97,7 +97,8 @@ class MockProver:
         if len(inst_cols) != cs.num_instance_columns:
             raise ValueError("wrong number of instance columns")
         assembly = _MockAssembly(cs, n, usable, inst_cols)
-        SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+        planner = floor_planner or SimpleFloorPlanner
+        planner.synthesize(assembly, circuit, config, cs.constants)
         from halo2_tpu.plonk.range_check import fill_and_sort
         for rel in cs.range_check:
             fill_and_sort(assembly.advice, rel, usable, -1)

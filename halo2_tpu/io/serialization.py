@@ -126,6 +126,42 @@ def load_circuit_data(params, circuit, path: str):
 
 # -- witness store / fetch ---------------------------------------------------
 
+def save_vk(vk, path: str) -> None:
+    """VerifyingKey::write (plonk.rs:60-67): compressed fixed commitments
+    followed by the permutation vk commitments."""
+    from halo2_tpu.transcript.blake2b import point_to_bytes
+    with open(path, "wb") as f:
+        for c in vk.fixed_commitments:
+            f.write(point_to_bytes(c))
+        for c in vk.permutation.commitments:
+            f.write(point_to_bytes(c))
+
+
+def load_vk(params, circuit, path: str):
+    """VerifyingKey::read (plonk.rs:69-88): re-derive the constraint system
+    from the circuit's configure(), then read the commitment points."""
+    from halo2_tpu.plonk.circuit import ConstraintSystem
+    from halo2_tpu.plonk.keygen import VerifyingKey
+    from halo2_tpu.plonk import permutation as perm_mod
+    from halo2_tpu.poly.domain import EvaluationDomain
+    from halo2_tpu.transcript.blake2b import point_from_bytes
+
+    cs = ConstraintSystem()
+    circuit.configure(cs)
+    cs.chunk_lookups()
+    cs.chunk_shuffles()
+    domain = EvaluationDomain(cs.degree(), params.k)
+    n_perm = len(cs.permutation.columns)
+    with open(path, "rb") as f:
+        fixed = [point_from_bytes(f.read(32))
+                 for _ in range(cs.num_fixed_columns)]
+        perm = [point_from_bytes(f.read(32)) for _ in range(n_perm)]
+        if f.read(1):
+            raise ValueError("trailing bytes in verifying key file")
+    return VerifyingKey(domain, cs, fixed, perm_mod.PermutationVk(perm),
+                        params.k)
+
+
 def save_witness(advice_cols: list, path: str) -> None:
     """Store synthesized advice columns (host int lists) as Montgomery limb
     arrays + per-column canonical bit bounds (helpers.rs store_witness

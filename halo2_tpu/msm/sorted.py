@@ -30,7 +30,7 @@ import numpy as np
 
 from halo2_tpu.curves import g1
 from halo2_tpu.fields.bn254 import Fq, Fr
-from halo2_tpu.fields.limbs import N_LIMBS
+from halo2_tpu.fields.limbs import LIMB_BITS, MASK, N_LIMBS
 
 C_BITS = 8
 NB = 1 << C_BITS
@@ -97,6 +97,25 @@ def _signed_digits(scalars_std, num_windows: int, c: int):
     return jnp.stack(mags), jnp.stack(negs)
 
 
+def _pack_xy(px, py):
+    """Pack affine (x, y) 16-bit limb rows into one (16, n) uint32 array
+    (two limbs per word).  The per-window point gather is random-access
+    HBM traffic — packing halves the gathered bytes and folds the two
+    coordinate gathers into ONE take."""
+    def pack(c):
+        return c[0::2] | (c[1::2] << LIMB_BITS)  # (8, n)
+    return jnp.concatenate([pack(px), pack(py)], axis=0)
+
+
+def _unpack_xy(packed):
+    """Inverse of _pack_xy: (16, *B) -> ((16, *B) x, (16, *B) y)."""
+    def unpack(c):  # (8, *B) -> (16, *B)
+        lo = c & MASK
+        hi = c >> LIMB_BITS
+        return jnp.stack([lo, hi], axis=1).reshape((-1,) + c.shape[1:])
+    return unpack(packed[:8]), unpack(packed[8:])
+
+
 def _prefix_scan_group(px_s, py_s, block: int):
     """Sorted affine points (16, G, n) -> block-layout prefix sums.
 
@@ -133,7 +152,7 @@ def _shift_fill_identity(pts, s):
     return g1.select(pos >= s, rolled, ident)
 
 
-def _exclusive_scan_points(totals):
+def _hs_exclusive(totals):
     """Exclusive prefix scan of points along the last axis (length B, a
     power of two).  totals: 3 coords of (16, G, B).
 
@@ -153,6 +172,41 @@ def _exclusive_scan_points(totals):
     shifts = jnp.asarray([1 << d for d in range(log_b)], jnp.int32)
     x, _ = jax.lax.scan(body, x, shifts)
     return x
+
+
+def _exclusive_scan_points(totals, seq: int = 32):
+    """Exclusive prefix scan over the last axis (length B, power of two),
+    two-level work-efficient:
+
+      B = B1 * S2 sub-blocks; a ``lax.scan`` over S2 accumulates inclusive
+      intra prefixes (S2 adds at width B1 — work B*G, vs B*G*log2(B) for a
+      flat Hillis–Steele ladder), the B1 sub-block totals get the O(log)
+      ladder, and one full-width add combines.  At B = 2048 this is ~5x
+      fewer point adds than the ladder while still compiling two bodies."""
+    B = totals[0].shape[-1]
+    if B <= max(seq * 2, 2):
+        return _hs_exclusive(totals)
+    S2 = seq
+    while B % S2:
+        S2 //= 2
+    B1 = B // S2
+    lead = totals[0].shape[:-1]          # (16, G)
+    r = tuple(c.reshape(lead + (B1, S2)) for c in totals)
+    xs = tuple(jnp.moveaxis(c, -1, 0) for c in r)   # (S2, 16, G, B1)
+
+    def step(carry, x):
+        nxt = g1.add(carry, x)
+        return nxt, nxt
+
+    blk_tot, incl = jax.lax.scan(step, g1.identity(lead[1:] + (B1,)), xs)
+    incl = tuple(jnp.moveaxis(c, 0, -1) for c in incl)  # (16, G, B1, S2)
+    ident = g1.identity(lead[1:] + (B1, 1))
+    excl_intra = tuple(
+        jnp.concatenate([ic, c[..., :-1]], axis=-1)
+        for c, ic in zip(incl, ident))
+    blk_excl = _hs_exclusive(blk_tot)                   # (16, G, B1)
+    out = g1.add(excl_intra, tuple(c[..., None] for c in blk_excl))
+    return tuple(c.reshape(lead + (B,)) for c in out)
 
 
 def _pairfold_sum(pts):
@@ -175,6 +229,30 @@ def _pairfold_sum(pts):
 
     x, _ = jax.lax.scan(body, pts, None, length=rounds)
     return tuple(c[..., 0] for c in x)
+
+
+def _sum_points_lastaxis(pts, seq: int = 64):
+    """Sum points along the last axis (length M, a power of two).
+
+    Two-level work-efficient: sequential ``lax.scan`` accumulate over S2
+    columns (work M*G adds — the identity-padded constant-shape pairfold
+    costs ~2*M*G*? with every round at FULL width), then pairfold the M/S2
+    partials.  Compiles two bodies."""
+    M = pts[0].shape[-1]
+    if M <= max(2 * seq, 2):
+        return _pairfold_sum(pts)
+    S2 = seq
+    while M % S2:
+        S2 //= 2
+    B1 = M // S2
+    lead = pts[0].shape[:-1]
+    xs = tuple(jnp.moveaxis(c.reshape(lead + (B1, S2)), -1, 0) for c in pts)
+
+    def step(carry, x):
+        return g1.add(carry, x), None
+
+    tot, _ = jax.lax.scan(step, g1.identity(lead[1:] + (B1,)), xs)
+    return _pairfold_sum(tot)
 
 
 def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
@@ -230,14 +308,14 @@ def _abel_window_totals(e_pts, nb: int):
     # (M is a power of two for both the unsigned path, nb = 256, and the
     # signed path, nb = 2^(c-1)+1 -> M = 2^(c-1))
     if M & (M - 1) == 0:
-        s_sum = _pairfold_sum((ex[..., :M], ey[..., :M], ez[..., :M]))
+        s_sum = _sum_points_lastaxis((ex[..., :M], ey[..., :M], ez[..., :M]))
     else:
         ix, iy, iz = g1.identity(ez.shape[1:-1] + (1,))
         pad = (1 << M.bit_length()) - M
         sx = jnp.concatenate([ex[..., :M]] + [ix] * pad, axis=-1)
         sy = jnp.concatenate([ey[..., :M]] + [iy] * pad, axis=-1)
         sz = jnp.concatenate([ez[..., :M]] + [iz] * pad, axis=-1)
-        s_sum = _pairfold_sum((sx, sy, sz))
+        s_sum = _sum_points_lastaxis((sx, sy, sz))
     e_last = (ex[..., M], ey[..., M], ez[..., M])
     if M & (M - 1) == 0:
         # M * E_M via log2(M) doublings (lax.scan: one doubling body)
@@ -295,17 +373,17 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
             [neg, jnp.zeros((w_pad, n), bool)], axis=0)
     dg = mag.reshape(n_groups, group, n)
     sg = neg.reshape(n_groups, group, n)
+    packed_xy = _pack_xy(px, py)  # (16, n): ONE gather source for x and y
 
     def one_group(_, ds):
         d, s = ds  # (G, n) magnitudes, (G, n) sign flags
         order = jnp.argsort(d, axis=1, stable=True)
         d_sorted = jnp.take_along_axis(d, order, axis=1)
         s_sorted = jnp.take_along_axis(s, order, axis=1)
-        px_s = jnp.take(px, order.reshape(-1), axis=1).reshape(
+        pk_s = jnp.take(packed_xy, order.reshape(-1), axis=1).reshape(
             N_LIMBS, group, n)
-        py_pos = jnp.take(py, order.reshape(-1), axis=1).reshape(
-            N_LIMBS, group, n)
-        # negate post-gather (a field sub is cheaper than a third
+        px_s, py_pos = _unpack_xy(pk_s)
+        # negate post-gather (a field sub is cheaper than a second
         # (16, G*n) gather of a precomputed -y array)
         py_s = jnp.where(s_sorted[None], Fq.raw.neg(py_pos), py_pos)
         intra, excl = _prefix_scan_group(px_s, py_s, block)

@@ -72,3 +72,22 @@ def test_witness_split_flow(setup, tmp_path):
     # and it matches a direct proof with the same seed
     direct = create_proof(params, pk, SimpleCircuit(4, 9), [[out]], seed=5)
     assert proof == direct
+
+
+def test_vk_file_roundtrip(setup, tmp_path):
+    """VerifyingKey::write/read (plonk.rs:60-88): commitments round-trip and
+    the reloaded vk verifies a real proof."""
+    from halo2_tpu.io.serialization import load_vk, save_vk
+
+    params, vk, pk = setup
+    path = tmp_path / "vk.bin"
+    save_vk(vk, str(path))
+    back = load_vk(params, SimpleCircuit(), str(path))
+    assert back.fixed_commitments == vk.fixed_commitments
+    assert back.permutation.commitments == vk.permutation.commitments
+    assert back.pinned() == vk.pinned()
+
+    a, b = 3, 5
+    out = expected_out(a, b)
+    proof = create_proof(params, pk, SimpleCircuit(a, b), [[out]], seed=0)
+    assert verify_proof(params.verifier(1), back, [[out]], proof)
