@@ -171,7 +171,10 @@ class _RegionLayouter:
     def enable_selector(self, selector, offset):
         row = self._abs(offset)
         self.backend.enable_selector(selector, row)
-        self.layouter.mark(selector.column, row)
+        # virtual selectors have no column yet (compression happens in
+        # keygen); track placement under the selector itself, mirroring the
+        # reference's RegionColumn::Selector
+        self.layouter.mark(selector, row)
 
     def constrain_constant(self, cell, constant):
         self.layouter.constrain_constant(cell, constant)
@@ -333,7 +336,7 @@ class _ShapeRegionLayouter:
         return AssignedCell(Cell(column, self._abs(offset)), value)
 
     def enable_selector(self, selector, offset):
-        self.shape.columns.add(selector.column)
+        self.shape.columns.add(selector)   # RegionColumn::Selector
         self._abs(offset)
 
     def constrain_constant(self, cell, constant):
@@ -415,13 +418,21 @@ def _slot_in_biggest_advice_first(shapes: list[_RegionShape]):
     Returns (starts_by_region_index, column_allocations)."""
     order = sorted(
         shapes,
-        key=lambda s: sum(1 for c in s.columns if c.ctype == "advice")
+        key=lambda s: sum(
+            1 for c in s.columns if getattr(c, "ctype", None) == "advice")
         * s.row_count,
         reverse=True)
     column_allocations: dict[Column, list[tuple[int, int]]] = {}
     starts = [0] * len(shapes)
+    def _col_key(c):
+        # RegionColumn ordering: Column(..) < Selector(..) (v1 strategy)
+        if isinstance(c, Selector):
+            return (1, c.index, 0)
+        from halo2_tpu.plonk.circuit import _CTYPE_ORDER
+        return (0, _CTYPE_ORDER[c.ctype], c.index)
+
     for shape in order:
-        cols = sorted(shape.columns)
+        cols = sorted(shape.columns, key=_col_key)
         row = _first_fit_region(column_allocations, cols, shape.row_count,
                                 0, None)
         starts[shape.index] = row

@@ -5,6 +5,11 @@ muls and their limb intermediates stay in VMEM, replacing ~30 separate
 field-op kernel launches (or ~1000 XLA elementwise passes) per point op —
 this is the MSM/scalar-mul hot path (the analogue of the fused `ec-gpu`
 curve device code, SURVEY.md §2.9).
+
+The field arithmetic is the CIOS/SSA formulation (fields/ssa.py): each limb
+an (8, 128) full-tile SSA value, ~2.3x fewer VPU ops per Montgomery product
+than the vectorized formulation.  Coordinates are read as (16, 8, 128)
+blocks and split into limb lists at the kernel boundary.
 """
 
 from __future__ import annotations
@@ -18,25 +23,8 @@ from halo2_tpu.curves import formulas
 from halo2_tpu.fields import limbs as lb
 from halo2_tpu.fields import pallas_ops
 
-_TILE = 512  # (16, 512) u32 per operand; ~12 live temporaries fit VMEM
-
-
-class _KernelField:
-    """Field ops with modulus constants passed by reference (kernels cannot
-    capture array constants)."""
-
-    def __init__(self, consts):
-        self.p = consts[:, 0:1]
-        self.pinv = consts[:, 1:2]
-
-    def mul(self, a, b):
-        return lb.mont_mul_raw(a, b, self.p, self.pinv)
-
-    def add(self, a, b):
-        return lb.add_mod_raw(a, b, self.p)
-
-    def sub(self, a, b):
-        return lb.sub_mod_raw(a, b, self.p)
+_TILE = 1024          # lanes per block
+_SUB = _TILE // 128
 
 
 _FORMULAS = {
@@ -47,39 +35,37 @@ _FORMULAS = {
 
 
 @functools.lru_cache(maxsize=None)
-def _point_call(op: str, n: int, tile: int):
+def _point_call(op: str, rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     formula, n_in = _FORMULAS[op]
+    K = pallas_ops._ssa_field("Fq")
 
     def kernel(*refs):
         in_refs = refs[:n_in]
-        consts_ref = refs[n_in]
-        out_refs = refs[n_in + 1:]
-        F = _KernelField(consts_ref[:])
-        coords = [r[:] for r in in_refs]
+        out_refs = refs[n_in:]
+        coords = [pallas_ops._read(r) for r in in_refs]
         if op == "add":
-            res = formula(F, tuple(coords[:3]), tuple(coords[3:]))
+            res = formula(K, tuple(coords[:3]), tuple(coords[3:]))
         elif op == "add_mixed":
-            res = formula(F, tuple(coords[:3]), tuple(coords[3:]))
+            res = formula(K, tuple(coords[:3]), tuple(coords[3:]))
         else:
-            res = formula(F, tuple(coords))
+            res = formula(K, tuple(coords))
         for o_ref, val in zip(out_refs, res):
-            o_ref[:] = val
+            pallas_ops._write(o_ref, val)
 
-    grid = n // tile
-    spec = pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
+    grid = rows // _SUB
+    spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[spec] * n_in + [cspec],
+        in_specs=[spec] * n_in,
         out_specs=(spec, spec, spec),
-        out_shape=tuple(jax.ShapeDtypeStruct((lb.N_LIMBS, n), jnp.uint32)
-                        for _ in range(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((lb.N_LIMBS, rows, 128), jnp.uint32)
+            for _ in range(3)),
     )
 
 
@@ -101,14 +87,16 @@ def point_op(op: str, coords):
         batch *= d
     if batch == 0:
         return None
-    from halo2_tpu.fields.pallas_ops import _field_consts
     flat = [c.reshape(lb.N_LIMBS, batch) for c in coords]
     pad = (-batch) % _TILE
     if pad:
         flat = [jnp.concatenate(
             [c, jnp.zeros((lb.N_LIMBS, pad), jnp.uint32)], axis=1)
             for c in flat]
-    out = _point_call(op, batch + pad, _TILE)(*flat, _field_consts("Fq"))
+    rows = (batch + pad) // 128
+    flat = [c.reshape(lb.N_LIMBS, rows, 128) for c in flat]
+    out = _point_call(op, rows)(*flat)
+    out = tuple(o.reshape(lb.N_LIMBS, batch + pad) for o in out)
     if pad:
         out = tuple(o[:, :batch] for o in out)
     return tuple(o.reshape(shape) for o in out)

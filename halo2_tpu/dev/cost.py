@@ -25,17 +25,18 @@ class CircuitCost:
     permutation_sets: int
     lookups: int
     lookup_sets: int
+    lookup_set_counts: list
     shuffle_groups: int
     usable_rows: int
     blinding_factors: int
+    num_rotations: int
 
     @classmethod
     def measure(cls, k: int, circuit) -> "CircuitCost":
-        cs = ConstraintSystem()
-        circuit.configure(cs)
-        cs.chunk_lookups()
-        cs.chunk_shuffles()
-        degree = cs.degree()
+        # full keygen-equivalent CS: configure + chunk + selector
+        # compression, so column/query counts match the real keys
+        from halo2_tpu.plonk.keygen import rebuild_cs
+        cs, _, degree = rebuild_cs(circuit, 1 << k)
         extended_k = k
         n = 1 << k
         while (1 << extended_k) < n * max(degree - 1, 1):
@@ -43,6 +44,16 @@ class CircuitCost:
         chunk = max(degree - 2, 1)
         perm_sets = -(-len(cs.permutation.columns) // chunk) \
             if cs.permutation.columns else 0
+        # distinct multiopen rotations: every query rotation, plus cur/next
+        # for the z polynomials, plus the chained-set "last" rotation
+        rotations = {r for _, r in (cs.advice_queries + cs.fixed_queries
+                                    + cs.instance_queries)}
+        rotations |= {0, 1}
+        chained = (perm_sets > 1
+                   or any(len(lk.input_expressions_sets) > 1
+                          for lk in cs.lookups))
+        if chained:
+            rotations.add(-(cs.blinding_factors() + 1))
         return cls(
             k=k,
             max_degree=degree,
@@ -56,9 +67,12 @@ class CircuitCost:
             permutation_sets=perm_sets,
             lookups=len(cs.lookups),
             lookup_sets=sum(len(lk.input_expressions_sets) for lk in cs.lookups),
+            lookup_set_counts=[len(lk.input_expressions_sets)
+                               for lk in cs.lookups],
             shuffle_groups=len(cs.shuffles),
             usable_rows=cs.usable_rows(n),
             blinding_factors=cs.blinding_factors(),
+            num_rotations=len(rotations),
         )
 
     # -- proof size (bytes), mirrors dev/cost.rs:243-354 -------------------
@@ -74,16 +88,19 @@ class CircuitCost:
 
     def proof_scalars(self, cs: ConstraintSystem | None = None) -> int:
         perm_evals = 3 * self.permutation_sets - 1 if self.permutation_sets else 0
-        lookup_evals = sum(
-            1 + 3 * s - 1 for s in [self.lookup_sets] if self.lookups) \
-            if self.lookups else 0
+        # per lookup argument with s sets: m(x) + per z {z(x), z(wx)} +
+        # the chained-set last rotation for all but the final z
+        lookup_evals = sum(1 + 3 * s - 1 for s in self.lookup_set_counts)
         return (perm_evals + lookup_evals
                 + 2 * self.shuffle_groups       # z(x), z(wx)
                 + self.permutation_columns      # sigma evals
                 + 1)                            # random eval
 
-    def proof_size_gwc(self, num_rotations: int = 3) -> int:
-        """Approximate proof bytes under GWC (one witness per rotation)."""
+    def proof_size_gwc(self, num_rotations: int | None = None) -> int:
+        """Approximate proof bytes under GWC (one witness per rotation,
+        rotation count derived from the measured query set)."""
+        if num_rotations is None:
+            num_rotations = self.num_rotations
         return 32 * (self.proof_points() + num_rotations
                      + self.proof_scalars())
 

@@ -30,10 +30,13 @@ class _RegionInfo:
 
     def note(self, ctype, index, row):
         self.columns.add((ctype, index))
+        self.note_rows(row)
+        self.cells += 1
+
+    def note_rows(self, row):
         lo, hi = self.rows
         self.rows = [row if lo is None else min(lo, row),
                      row if hi is None else max(hi, row)]
-        self.cells += 1
 
 
 class LayoutTracker(Assignment):
@@ -73,7 +76,8 @@ class LayoutTracker(Assignment):
     # -- Assignment protocol -------------------------------------------------
     def enable_selector(self, selector, row):
         self.selectors.append((selector.index, row))
-        self._note("fixed", selector.column.index, row)
+        if self._current is not None:
+            self._current.note_rows(row)
 
     def assign_advice(self, column, row, value):
         self._note("advice", column.index, row)

@@ -1,29 +1,34 @@
 """Pallas TPU kernels for the hot field ops.
 
 The pure-XLA limb pipeline is memory-bound: every one of the ~40 elementwise
-passes in a Montgomery multiply round-trips HBM.  These kernels run the SAME
-jnp limb code (fields/limbs.py) inside a Pallas block so all intermediates
-live in VMEM — HBM traffic drops to one read of each operand + one write of
-the result per element (the reference's analogue is the fused `ec-gpu`
-device field code, SURVEY.md §2.9).
+passes in a Montgomery multiply round-trips HBM.  These kernels keep all
+intermediates in VMEM (one HBM read per operand + one write per result) and
+run the minimal-op CIOS/SSA limb formulation (fields/ssa.py): each limb is
+its own SSA value shaped (8, 128) — one full VPU tile — so limb "indexing"
+is free and carries ripple in 3 ops/limb instead of Kogge-Stone networks.
+~2.3x fewer VPU ops per Montgomery product than the vectorized
+mul_wide+reduce formulation.  (The reference's analogue is the fused
+`ec-gpu` device field code, SURVEY.md §2.9.)
 
-Blocks are (16, T) limb tiles over the flattened batch; T is a multiple of
-128 lanes. Kernels fall back to the plain jnp path off-TPU or for small /
-ragged shapes.
+Layout: the host reshapes a (16, N) limb array to (16, N/128, 128); blocks
+are (16, 8, 128) = 1024 lanes.  Modulus constants are Python ints baked
+into the kernel (no constant operands).  Kernels fall back to the plain jnp
+path off-TPU or for small / ragged shapes.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from halo2_tpu.fields import limbs as lb
+from halo2_tpu.fields import ssa
 
-import os
-
-_TILE = 1024  # lanes per block: (33, 1024) u32 scratch ~ 135KB, well under VMEM
+_TILE = 1024          # lanes per block
+_SUB = _TILE // 128   # sublane rows per block
 _ENABLED = os.environ.get("HALO2_TPU_NO_PALLAS", "") != "1"
 
 
@@ -34,50 +39,49 @@ def _backend_is_tpu() -> bool:
         return False
 
 
-_BODIES = {
-    "mul": lambda a, b, c: lb.mont_mul_raw(a, b, c[:, 0:1], c[:, 1:2]),
-    "add": lambda a, b, c: lb.add_mod_raw(a, b, c[:, 0:1]),
-    "sub": lambda a, b, c: lb.sub_mod_raw(a, b, c[:, 0:1]),
-}
+@functools.lru_cache(maxsize=None)
+def _field_ints(field_key):
+    from halo2_tpu.fields.bn254 import Fq, Fr
+    field = {"Fr": Fr, "Fq": Fq}[field_key]
+    return tuple(int(v) for v in field.p_np), int(field.p_inv_np[0])
+
+
+def _ssa_field(field_key):
+    p_ints, pinv0 = _field_ints(field_key)
+    return ssa.SSAField(p_ints, pinv0)
+
+
+def _read(ref):
+    """(16, 8, 128) block -> SSA limb list of (8, 128) values."""
+    x = ref[:]
+    return [x[i] for i in range(lb.N_LIMBS)]
+
+
+def _write(ref, limbs):
+    ref[:] = jnp.stack(limbs, axis=0)
 
 
 @functools.lru_cache(maxsize=None)
-def _binop_call(op: str, field_key, n: int, tile: int):
+def _binop_call(op: str, field_key, rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    body = _BODIES[op]
+    K = _ssa_field(field_key)
+    body = {"mul": K.mul, "add": K.add, "sub": K.sub}[op]
 
-    def kernel(a_ref, b_ref, consts_ref, o_ref):
-        o_ref[:] = body(a_ref[:], b_ref[:], consts_ref[:])
+    def kernel(a_ref, b_ref, o_ref):
+        _write(o_ref, body(_read(a_ref), _read(b_ref)))
 
-    grid = n // tile
+    grid = rows // _SUB
+    spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lb.N_LIMBS, n), jnp.uint32),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((lb.N_LIMBS, rows, 128), jnp.uint32),
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _field_consts(field_key):
-    from halo2_tpu.fields.bn254 import Fq, Fr
-    import numpy as np
-    field = {"Fr": Fr, "Fq": Fq}[field_key]
-    consts = np.zeros((lb.N_LIMBS, 128), np.uint32)
-    consts[:, 0] = field.p_np
-    consts[:, 1] = field.p_inv_np
-    return consts  # numpy on purpose: trace-time constant, no tracer leaks
 
 
 def binop(op: str, field, a, b):
@@ -96,10 +100,10 @@ def binop(op: str, field, a, b):
         batch *= d
     if batch % _TILE or batch == 0:
         return None
-    a2 = a.reshape(lb.N_LIMBS, batch)
-    b2 = b.reshape(lb.N_LIMBS, batch)
-    out = _binop_call(op, field.name, batch, _TILE)(
-        a2, b2, _field_consts(field.name))
+    rows = batch // 128
+    a2 = a.reshape(lb.N_LIMBS, rows, 128)
+    b2 = b.reshape(lb.N_LIMBS, rows, 128)
+    out = _binop_call(op, field.name, rows)(a2, b2)
     return out.reshape(a.shape)
 
 
@@ -108,67 +112,65 @@ def mont_mul(field, a, b):
 
 
 @functools.lru_cache(maxsize=None)
-def _butterfly_call(field_key, mid: int, half: int, tile: int):
+def _butterfly_call(field_key, mid: int, half: int):
     """Fused NTT butterfly: (lo, hi, tw) -> (u, v) with
     u = lo + hi; v = (lo - hi) * tw.  The twiddle block is re-read per mid
     row via the index map (never materialized at full batch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(lo_ref, hi_ref, tw_ref, consts_ref, u_ref, v_ref):
-        p = consts_ref[:, 0:1]
-        pinv = consts_ref[:, 1:2]
-        lo = lo_ref[:]
-        hi = hi_ref[:]
-        u_ref[:] = lb.add_mod_raw(lo, hi, p)
-        v_ref[:] = lb.mont_mul_raw(lb.sub_mod_raw(lo, hi, p), tw_ref[:],
-                                   p, pinv)
+    K = _ssa_field(field_key)
 
-    blocks_per_row = half // tile
+    def kernel(lo_ref, hi_ref, tw_ref, u_ref, v_ref):
+        lo = _read(lo_ref)
+        hi = _read(hi_ref)
+        _write(u_ref, K.add(lo, hi))
+        _write(v_ref, K.mul(K.sub(lo, hi), _read(tw_ref)))
+
+    blocks_per_row = half // _TILE
     grid = mid * blocks_per_row
-    data_spec = pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
+    rows = mid * half // 128
+    data_spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((lb.N_LIMBS, tile),
-                           lambda i: (0, i % blocks_per_row),
+    tw_spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128),
+                           lambda i: (0, i % blocks_per_row, 0),
                            memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[data_spec, data_spec, tw_spec, cspec],
+        in_specs=[data_spec, data_spec, tw_spec],
         out_specs=(data_spec, data_spec),
-        out_shape=(jax.ShapeDtypeStruct((lb.N_LIMBS, mid * half), jnp.uint32),
-                   jax.ShapeDtypeStruct((lb.N_LIMBS, mid * half), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((lb.N_LIMBS, rows, 128), jnp.uint32),
+                   jax.ShapeDtypeStruct((lb.N_LIMBS, rows, 128), jnp.uint32)),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _mul_tiled_call(field_key, mid: int, k: int, tile: int):
+def _mul_tiled_call(field_key, mid: int, k: int):
     """a: (16, mid*k), t: (16, k) -> a * t with t re-read per mid row via
     the index map (never materialized at full batch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(a_ref, t_ref, consts_ref, o_ref):
-        o_ref[:] = lb.mont_mul_raw(a_ref[:], t_ref[:],
-                                   consts_ref[:, 0:1], consts_ref[:, 1:2])
+    K = _ssa_field(field_key)
 
-    blocks_per_row = k // tile
+    def kernel(a_ref, t_ref, o_ref):
+        _write(o_ref, K.mul(_read(a_ref), _read(t_ref)))
+
+    blocks_per_row = k // _TILE
     grid = mid * blocks_per_row
-    data_spec = pl.BlockSpec((lb.N_LIMBS, tile), lambda i: (0, i),
+    rows = mid * k // 128
+    data_spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((lb.N_LIMBS, tile),
-                          lambda i: (0, i % blocks_per_row),
+    t_spec = pl.BlockSpec((lb.N_LIMBS, _SUB, 128),
+                          lambda i: (0, i % blocks_per_row, 0),
                           memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((lb.N_LIMBS, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[data_spec, t_spec, cspec],
+        in_specs=[data_spec, t_spec],
         out_specs=data_spec,
-        out_shape=jax.ShapeDtypeStruct((lb.N_LIMBS, mid * k), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((lb.N_LIMBS, rows, 128), jnp.uint32),
     )
 
 
@@ -187,10 +189,9 @@ def mul_tiled(field, a, t):
     mid = 1
     for d in a.shape[1:-1]:
         mid *= d
-    a2 = a.reshape(lb.N_LIMBS, mid * k)
-    t2 = t.reshape(lb.N_LIMBS, k)
-    out = _mul_tiled_call(field.name, mid, k, _TILE)(
-        a2, t2, _field_consts(field.name))
+    a2 = a.reshape(lb.N_LIMBS, mid * k // 128, 128)
+    t2 = t.reshape(lb.N_LIMBS, k // 128, 128)
+    out = _mul_tiled_call(field.name, mid, k)(a2, t2)
     return out.reshape(a.shape)
 
 
@@ -206,9 +207,8 @@ def butterfly(field, lo, hi, tw):
     mid = 1
     for d in lo.shape[1:-1]:
         mid *= d
-    lo2 = lo.reshape(lb.N_LIMBS, mid * half)
-    hi2 = hi.reshape(lb.N_LIMBS, mid * half)
-    tw2 = tw.reshape(lb.N_LIMBS, half)
-    u, v = _butterfly_call(field.name, mid, half, _TILE)(
-        lo2, hi2, tw2, _field_consts(field.name))
+    lo2 = lo.reshape(lb.N_LIMBS, mid * half // 128, 128)
+    hi2 = hi.reshape(lb.N_LIMBS, mid * half // 128, 128)
+    tw2 = tw.reshape(lb.N_LIMBS, half // 128, 128)
+    u, v = _butterfly_call(field.name, mid, half)(lo2, hi2, tw2)
     return u.reshape(lo.shape), v.reshape(lo.shape)

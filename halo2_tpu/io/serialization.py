@@ -56,27 +56,24 @@ def save_circuit_data(pk, path: str, mapping: np.ndarray | None = None) -> None:
 
 def _vk_digest(vk) -> bytes:
     import hashlib
-    return hashlib.blake2b(vk.pinned(), digest_size=32).digest()
+    return hashlib.blake2b(vk.pinned().encode(), digest_size=32).digest()
 
 
 def load_circuit_data(params, circuit, path: str):
     """Rebuild (vk, pk) from saved circuit data + the circuit's configure()
     (keygen_pk_from_info analogue, keygen.rs:458-608). Skips synthesis and
     permutation cycle construction entirely."""
-    from halo2_tpu.plonk.circuit import ConstraintSystem
-    from halo2_tpu.plonk.keygen import ProvingKey, VerifyingKey, _commit_columns_affine
+    from halo2_tpu.plonk.keygen import (ProvingKey, VerifyingKey, rebuild_cs,
+                                        _commit_columns_affine)
     from halo2_tpu.plonk import permutation as perm_mod
     from halo2_tpu.poly.domain import EvaluationDomain
     from halo2_tpu.fields.limbs import N_LIMBS
 
     data = np.load(path)
-    cs = ConstraintSystem()
-    circuit.configure(cs)
-    cs.chunk_lookups()
-    cs.chunk_shuffles()
+    cs, _, degree = rebuild_cs(circuit, params.n)
     k = int(data["k"])
     assert k == params.k
-    domain = EvaluationDomain(cs.degree(), k)
+    domain = EvaluationDomain(degree, k)
 
     fixed_lagrange = jnp.asarray(data["fixed_lagrange"])
     sig_lag = jnp.asarray(data["sigmas_lagrange"])
@@ -87,40 +84,26 @@ def load_circuit_data(params, circuit, path: str):
 
     m = sig_lag.shape[1]
     sig_coeff = domain.ntt.inverse(sig_lag) if m else sig_lag
-    sig_ext = (jnp.stack([domain.coeff_to_extended_traced(sig_coeff[:, i, :])
-                          for i in range(m)], axis=1) if m
-               else jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32))
     perm_commitments = _commit_columns_affine(params, sig_lag) if m else []
 
     perm_vk = perm_mod.PermutationVk(perm_commitments)
-    perm_pk = perm_mod.PermutationPk(sig_lag, sig_coeff, sig_ext)
+    perm_pk = perm_mod.PermutationPk(sig_lag, sig_coeff)
     vk = VerifyingKey(domain, cs, fixed_commitments, perm_vk, k)
     if _vk_digest(vk) != bytes(data["vk_pinned_hash"].tobytes()):
         raise ValueError("circuit data does not match this circuit/params")
 
     n = params.n
     bf = cs.blinding_factors()
-    fixed_extended = (jnp.stack(
-        [domain.coeff_to_extended_traced(fixed_coeff[:, i, :])
-         for i in range(fixed_coeff.shape[1])], axis=1)
-        if fixed_coeff.shape[1]
-        else jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32))
 
-    def lag_ext(one_rows):
+    def lag_coeff(one_rows):
         vals = [0] * n
         for r in one_rows:
             vals[r] = 1
-        lag = jnp.asarray(Fr.encode(vals))
-        return domain.coeff_to_extended_traced(domain.ntt.inverse(lag))
+        return domain.ntt.inverse(jnp.asarray(Fr.encode(vals)))
 
-    l0 = lag_ext([0])
-    l_last = lag_ext([n - (bf + 1)])
-    l_blind = lag_ext(range(n - bf, n))
-    one = Fr.broadcast_scalar(Fr.r_np, (domain.extended_n,))
-    l_active = Fr.sub(one, Fr.add(l_last, l_blind))
-
-    pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, fixed_extended, perm_pk,
-                    l0, l_last, l_active)
+    pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, perm_pk,
+                    lag_coeff([0]), lag_coeff([n - (bf + 1)]),
+                    lag_coeff(range(n - bf, n)))
     return vk, pk
 
 
@@ -140,17 +123,13 @@ def save_vk(vk, path: str) -> None:
 def load_vk(params, circuit, path: str):
     """VerifyingKey::read (plonk.rs:69-88): re-derive the constraint system
     from the circuit's configure(), then read the commitment points."""
-    from halo2_tpu.plonk.circuit import ConstraintSystem
-    from halo2_tpu.plonk.keygen import VerifyingKey
+    from halo2_tpu.plonk.keygen import VerifyingKey, rebuild_cs
     from halo2_tpu.plonk import permutation as perm_mod
     from halo2_tpu.poly.domain import EvaluationDomain
     from halo2_tpu.transcript.blake2b import point_from_bytes
 
-    cs = ConstraintSystem()
-    circuit.configure(cs)
-    cs.chunk_lookups()
-    cs.chunk_shuffles()
-    domain = EvaluationDomain(cs.degree(), params.k)
+    cs, _, degree = rebuild_cs(circuit, params.n)
+    domain = EvaluationDomain(degree, params.k)
     n_perm = len(cs.permutation.columns)
     with open(path, "rb") as f:
         fixed = [point_from_bytes(f.read(32))

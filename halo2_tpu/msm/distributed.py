@@ -35,18 +35,21 @@ from halo2_tpu.msm.msm import _combine_windows, _tree_sum_last_axis
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_sharded_jit(mesh: Mesh, axis: str, n: int, max_bits: int,
+def _msm_sharded_jit(mesh: Mesh, axes: tuple, n: int, max_bits: int,
                      group: int, block: int):
     def local(px, py, s):
         # px/py/s: (16, n/D) — this chip's shard
         totals = _sorted.window_totals(px, py, s, max_bits, group, block)
-        # (16, W) x3 partial totals -> reduce over the mesh axis
-        gathered = jax.lax.all_gather(totals, axis)     # 3 x (D, 16, W)
-        pts = tuple(g.transpose(1, 2, 0) for g in gathered)  # (16, W, D)
-        tot = _tree_sum_last_axis(pts)                  # (16, W) x3
-        return _combine_windows(tot, _sorted.SIGNED_C_BITS)
+        # (16, W) x3 partial totals -> reduce axis by axis, INNERMOST
+        # (fastest-varying, ICI-adjacent) first: the cross-host/DCN hop only
+        # ever carries the already-reduced W window points (~4 KB)
+        for ax in reversed(axes):
+            gathered = jax.lax.all_gather(totals, ax)   # 3 x (Dax, 16, W)
+            pts = tuple(g.transpose(1, 2, 0) for g in gathered)  # (16, W, Dax)
+            totals = _tree_sum_last_axis(pts)           # (16, W) x3
+        return _combine_windows(totals, _sorted.SIGNED_C_BITS)
 
-    spec = Pspec(None, axis)
+    spec = Pspec(None, axes if len(axes) > 1 else axes[0])
     body = shard_map(local, mesh=mesh,
                      in_specs=(spec, spec, spec),
                      out_specs=Pspec(None),
@@ -54,22 +57,30 @@ def _msm_sharded_jit(mesh: Mesh, axis: str, n: int, max_bits: int,
     return jax.jit(body)
 
 
-def msm_sharded(points, scalars_mont, mesh: Mesh, axis: str = "x",
+def msm_sharded(points, scalars_mont, mesh: Mesh, axis="x",
                 max_bits: int = 256):
-    """MSM with points/scalars sharded over `mesh` axis `axis`.
+    """MSM with points/scalars sharded over one or more mesh axes.
 
     points: (x, y) each (16, n) Montgomery affine (no identities);
-    scalars_mont: (16, n) Montgomery Fr.  n must be divisible by the device
-    count x a power-of-two block.  Returns replicated projective limbs.
-    """
+    scalars_mont: (16, n) Montgomery Fr.  `axis` is a mesh-axis name or a
+    tuple of names, OUTERMOST first — e.g. ("dcn", "ici") for a 2-D
+    multi-host mesh: points shard over the full device set, per-chip window
+    totals reduce over the inner (ICI) axis first, and only the W reduced
+    window points cross the outer (DCN) axis.  n must be divisible by the
+    total device count; each axis size must be a power of two (tree
+    reduction).  Returns replicated projective limbs."""
     px, py = points
     n = px.shape[1]
-    D = mesh.shape[axis]
-    assert D & (D - 1) == 0, "device count must be a power of two"
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    D = 1
+    for ax in axes:
+        Dax = mesh.shape[ax]
+        assert Dax & (Dax - 1) == 0,             f"mesh axis {ax!r} size must be a power of two"
+        D *= Dax
     assert n % D == 0, "points must divide evenly across devices"
     n_local = n // D
     num_windows = _sorted.num_windows_for(max_bits)
     group = _sorted._auto_group(n_local, num_windows)
     block = _sorted._auto_block(n_local)
-    return _msm_sharded_jit(mesh, axis, n, max_bits, group, block)(
+    return _msm_sharded_jit(mesh, axes, n, max_bits, group, block)(
         px, py, scalars_mont)

@@ -89,10 +89,17 @@ def _accumulate(px, py, digits, lanes: int):
 
 
 def _tree_sum_last_axis(pts):
-    """Sum points along the last axis via a halving tree with REAL shrinking
-    slice shapes (Python-unrolled rounds): total work is L-1 adds, not
-    L*log2(L) masked full-width ops.  L must be a power of two."""
+    """Sum points along the last axis (power-of-two length).
+
+    On TPU: a halving tree with REAL shrinking slice shapes (Python-unrolled
+    rounds) — total work L-1 adds, not L*log2(L) masked full-width ops.
+    On CPU (the driver's virtual-device dryrun): the constant-shape pairfold
+    (ONE scan body) — each distinct slice shape would compile its own
+    ~7k-HLO complete-add graph, and XLA CPU pays minutes for them."""
     px, py, pz = pts
+    if jax.default_backend() != "tpu":
+        from halo2_tpu.msm.sorted import _pairfold_sum
+        return _pairfold_sum(pts)
     L = px.shape[-1]
     while L > 1:
         h = L // 2
@@ -145,21 +152,29 @@ def _reduce_buckets(buckets):
 def _combine_windows(totals, c_bits: int = C_BITS):
     """Horner over windows via scan: acc = (acc * 2^c) + T_w, w descending.
 
-    The c doublings inside the body are Python-unrolled (lax loop
+    On TPU the c doublings inside the body are Python-unrolled (lax loop
     iterations cost ~0.1-0.3 ms each in scalar-core sync on 1-lane
     tensors — a nested fori_loop made this combine dominate the MSM
     tail), but the window axis stays a lax.scan so the compiled graph
     holds ONE body regardless of window count (a full unroll of
-    W*(c+1) point ops OOM-killed the TPU compiler)."""
+    W*(c+1) point ops OOM-killed the TPU compiler).  On CPU (driver
+    dryrun) the doublings are a nested scan instead: the unrolled body
+    is ~65k HLO ops and XLA CPU spends minutes on it."""
     tx, ty, tz = totals
     W = tx.shape[-1]
     acc = (tx[:, W - 1], ty[:, W - 1], tz[:, W - 1])
     if W == 1:
         return acc
+    unroll_doubles = jax.default_backend() == "tpu"
 
     def body(acc, t):
-        for _ in range(c_bits):
-            acc = g1.double.__wrapped_raw__(acc)
+        if unroll_doubles:
+            for _ in range(c_bits):
+                acc = g1.double.__wrapped_raw__(acc)
+        else:
+            acc, _ = jax.lax.scan(
+                lambda a, _: (g1.double.__wrapped_raw__(a), None),
+                acc, None, length=c_bits)
         return g1.add.__wrapped_raw__(acc, t), None
 
     # windows W-2 down to 0, window axis moved to front for the scan

@@ -74,9 +74,15 @@ class TableColumn:
 
 @dataclass(frozen=True)
 class Selector:
-    """A virtual selector directly backed by a fixed column."""
+    """A virtual selector (circuit.rs:253-267).
+
+    Selectors carry no column at creation; `ConstraintSystem.
+    compress_selectors` (the reference's circuit.rs:1603-1734 +
+    circuit/compress_selectors.rs) packs disjoint simple selectors into
+    shared fixed "combination" columns during keygen and substitutes every
+    `SelectorExpr` in gates/lookups/shuffles with a fixed-query expression.
+    """
     index: int
-    column: Column  # backing fixed column
     is_simple: bool = True
 
 
@@ -142,6 +148,24 @@ class Constant(Expression):
 
     def identifier(self):
         return f"c{self.value}"
+
+
+@dataclass(frozen=True)
+class SelectorExpr(Expression):
+    """A virtual-selector query (Expression::Selector).  Must be substituted
+    by `compress_selectors` before any evaluation — only `degree` and
+    `identifier` are meaningful pre-substitution."""
+    selector: Selector
+
+    def degree(self):
+        return 1
+
+    def evaluate(self, *h):
+        raise RuntimeError(
+            "virtual selector evaluated — run compress_selectors first")
+
+    def identifier(self):
+        return f"selector[{self.selector.index}]"
 
 
 @dataclass(frozen=True)
@@ -254,6 +278,52 @@ class Scaled(Expression):
         return f"({self.expr.identifier()}*s{self.scalar})"
 
 
+def extract_simple_selector(expr: Expression):
+    """The unique simple selector inside expr, or None
+    (Expression::extract_simple_selector; two simple selectors in one
+    expression is a construction error)."""
+    if isinstance(expr, SelectorExpr):
+        return expr.selector if expr.selector.is_simple else None
+    if isinstance(expr, Negated):
+        return extract_simple_selector(expr.expr)
+    if isinstance(expr, Scaled):
+        return extract_simple_selector(expr.expr)
+    if isinstance(expr, (Sum, Product)):
+        a = extract_simple_selector(expr.a)
+        b = extract_simple_selector(expr.b)
+        if a is not None and b is not None:
+            raise ValueError(
+                "two simple selectors cannot be in the same expression")
+        return a if a is not None else b
+    return None
+
+
+def replace_selectors(expr: Expression, replacements: list,
+                      must_be_nonsimple: bool) -> Expression:
+    """Substitute every SelectorExpr with its combination expression
+    (circuit.rs:1666-1703).  Rebuilds the tree with the same node shapes the
+    reference produces, so the pinned CS string matches byte-for-byte."""
+    if isinstance(expr, SelectorExpr):
+        if must_be_nonsimple:
+            assert not expr.selector.is_simple, \
+                "simple selectors may not appear in lookup/shuffle inputs"
+        return replacements[expr.selector.index]
+    if isinstance(expr, Negated):
+        return Negated(replace_selectors(expr.expr, replacements,
+                                         must_be_nonsimple))
+    if isinstance(expr, Sum):
+        return Sum(replace_selectors(expr.a, replacements, must_be_nonsimple),
+                   replace_selectors(expr.b, replacements, must_be_nonsimple))
+    if isinstance(expr, Product):
+        return Product(
+            replace_selectors(expr.a, replacements, must_be_nonsimple),
+            replace_selectors(expr.b, replacements, must_be_nonsimple))
+    if isinstance(expr, Scaled):
+        return Scaled(replace_selectors(expr.expr, replacements,
+                                        must_be_nonsimple), expr.scalar)
+    return expr
+
+
 def eval_expression_host(expr: Expression, fixed, advice, instance) -> int:
     """Evaluate with host int lookups fixed/advice/instance: fn(query)->int."""
     return expr.evaluate(
@@ -301,6 +371,7 @@ class ConstraintSystem:
         self.num_instance_columns = 0
         self.num_selectors = 0
         self.selectors: list[Selector] = []
+        self.selector_map: list[Column] = []  # filled by compress_selectors
         self.gates: list[Gate] = []
         self.advice_queries: list[tuple[Column, int]] = []
         self.num_advice_queries: list[int] = []
@@ -346,16 +417,140 @@ class ConstraintSystem:
         return TableColumn(self.fixed_column())
 
     def selector(self) -> Selector:
-        s = Selector(self.num_selectors, self.fixed_column(), is_simple=True)
+        s = Selector(self.num_selectors, is_simple=True)
         self.num_selectors += 1
         self.selectors.append(s)
         return s
 
     def complex_selector(self) -> Selector:
-        s = Selector(self.num_selectors, self.fixed_column(), is_simple=False)
+        s = Selector(self.num_selectors, is_simple=False)
         self.num_selectors += 1
         self.selectors.append(s)
         return s
+
+    # -- selector compression (circuit.rs:1603-1734 + compress_selectors.rs)
+    def compress_selectors(self, selectors: list) -> list:
+        """Pack selector activation vectors into shared fixed columns.
+
+        selectors: one bool list (length n) per selector, in selector-index
+        order.  Allocates the combination fixed columns, substitutes every
+        SelectorExpr in gates/lookups/shuffles, fills `selector_map`, and
+        returns the combination columns' value lists (ints, one per new
+        fixed column, in allocation order).  Call exactly once, after
+        configure+chunking and before committing fixed columns."""
+        assert len(selectors) == self.num_selectors
+        assert not getattr(self, "_selectors_compressed", False), \
+            "compress_selectors called twice"
+        self._selectors_compressed = True
+
+        # max degree over gates of each simple selector (degree 0 = complex
+        # or unused — gets its own concrete column)
+        degrees = [0] * len(selectors)
+        for gate in self.gates:
+            for expr in gate.polys:
+                sel = extract_simple_selector(expr)
+                if sel is not None:
+                    degrees[sel.index] = max(degrees[sel.index], expr.degree())
+        max_degree = self.degree()
+
+        new_columns: list[Column] = []
+
+        def allocate_fixed_column() -> Expression:
+            column = self.fixed_column()
+            new_columns.append(column)
+            return FixedQuery(self.query_fixed_index(column, 0),
+                              column.index, 0)
+
+        combination_assignments: list[list[int]] = []
+        replacements: list = [None] * len(selectors)
+        combo_of: list = [None] * len(selectors)
+
+        # degree-0 (complex / unused) selectors: direct 0/1 columns
+        simple: list[int] = []
+        for i, activations in enumerate(selectors):
+            if degrees[i] == 0:
+                expr = allocate_fixed_column()
+                combination_assignments.append(
+                    [1 if b else 0 for b in activations])
+                replacements[i] = expr
+                combo_of[i] = len(combination_assignments) - 1
+            else:
+                simple.append(i)
+
+        # exclusion matrix over the remaining (simple) selectors
+        def conflicts(i, j):
+            ai, aj = selectors[i], selectors[j]
+            return any(l and r for l, r in zip(ai, aj))
+
+        added = {i: False for i in simple}
+        for pos, i in enumerate(simple):
+            if added[i]:
+                continue
+            added[i] = True
+            assert degrees[i] <= max_degree
+            d = degrees[i] - 1  # omit the virtual selector itself
+            combination = [i]
+            for j in simple[pos + 1:]:
+                if d + len(combination) == max_degree:
+                    break
+                if added[j]:
+                    continue
+                if any(conflicts(j, k) for k in combination):
+                    continue
+                new_d = max(d, degrees[j] - 1)
+                if new_d + len(combination) + 1 > max_degree:
+                    continue
+                d = new_d
+                combination.append(j)
+                added[j] = True
+
+            n = len(selectors[combination[0]])
+            combination_assignment = [0] * n
+            combination_len = len(combination)
+            combination_index = len(combination_assignments)
+            query = allocate_fixed_column()
+
+            assigned_root = 1
+            for i2 in combination:
+                # q * prod_{root != assigned_root} (root - q): nonzero only
+                # on rows where the combination column equals assigned_root
+                expression = query
+                root = 1
+                for _ in range(combination_len):
+                    if root != assigned_root:
+                        expression = expression * (Constant(root % P) - query)
+                    root += 1
+                for r, b in enumerate(selectors[i2]):
+                    if b:
+                        combination_assignment[r] = assigned_root
+                assigned_root += 1
+                replacements[i2] = expression
+                combo_of[i2] = combination_index
+            combination_assignments.append(combination_assignment)
+
+        self.selector_map = [new_columns[combo_of[i]]
+                             for i in range(len(selectors))]
+
+        for gate in self.gates:
+            gate.polys = [replace_selectors(p, replacements, False)
+                          for p in gate.polys]
+        for lk in self.lookups:
+            lk.table_expressions = [
+                replace_selectors(e, replacements, True)
+                for e in lk.table_expressions]
+            lk.input_expressions_sets = [
+                [[replace_selectors(e, replacements, True) for e in inputs]
+                 for inputs in s]
+                for s in lk.input_expressions_sets]
+        for group in self.shuffles:
+            for unit in group.units:
+                unit.input_expressions = [
+                    replace_selectors(e, replacements, True)
+                    for e in unit.input_expressions]
+                unit.shuffle_expressions = [
+                    replace_selectors(e, replacements, True)
+                    for e in unit.shuffle_expressions]
+        return combination_assignments
 
     # -- equality / constants ---------------------------------------------
     def enable_equality(self, column: Column):
@@ -588,7 +783,7 @@ class VirtualCells:
         return InstanceQuery(idx, column.index, at)
 
     def query_selector(self, selector: Selector) -> Expression:
-        return self.query_fixed(selector.column, 0)
+        return SelectorExpr(selector)
 
     def query_any(self, column: Column, at: int = 0) -> Expression:
         return {"advice": self.query_advice, "fixed": self.query_fixed,

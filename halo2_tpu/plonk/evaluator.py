@@ -163,22 +163,42 @@ def h_fold_body(cs, ctx, *, perm_z, lookup_m, lookup_z, shuffle_z,
     return value
 
 
+def coset_x_tables_np(domain):
+    """coset_x[i] = zeta * extended_omega^i factored as outer[a] * inner[b]
+    with i = a * n2 + b: two sqrt(ext_n)-sized host tables instead of a
+    full (16, ext_n) table baked into the program (268 MB at k=20/deg 5)."""
+    ext_n = domain.extended_n
+    n2 = 1 << (domain.extended_k // 2)
+    n1 = ext_n // n2
+    w = domain.extended_omega
+    outer = powers_table_np(pow(w, n2, P), n1, P,
+                            lambda v: Fr.to_mont_int(v * domain.g_coset % P))
+    inner = powers_table_np(w, n2, P, Fr.to_mont_int)
+    return outer, inner, n1, n2
+
+
 class Evaluator:
-    """Compiled h(X) program for one proving key (single chip)."""
+    """Compiled h(X) program for one proving key (single chip).
+
+    Memory discipline: the pk stores only coeff-form polys; every extended
+    coset (advice, fixed, sigma, z, l0/l_last/l_blind) is produced
+    TRANSIENTLY inside this jitted program by the batched coset-extension
+    NTT — the reference cuda path's do_extended_fft-per-unit behavior
+    (plonk.rs:226-243, evaluation_gpu.rs:863-911).  pk arrays enter as jit
+    ARGUMENTS, not closure constants, so XLA never duplicates them into the
+    executable."""
 
     def __init__(self, pk):
         self.pk = pk
         domain = pk.vk.domain
         self.rot_scale = 1 << (domain.extended_k - domain.k)
-        # coset_x[i] = zeta * extended_omega^i (the X value on the coset row)
-        self._coset_x_np = powers_table_np(
-            domain.extended_omega, domain.extended_n, P,
-            lambda v: Fr.to_mont_int(v * domain.g_coset % P))
+        self._coset_tabs = coset_x_tables_np(domain)
         self._jit = None
 
     # ------------------------------------------------------------------
     def _build(self, advice_coeff, instance_coeff, perm_zs_coeff,
                lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
+               fixed_coeff, sigmas_coeff, l_coeffs, coset_outer, coset_inner,
                theta, beta, gamma, y, value_init):
         pk = self.pk
         cs = pk.vk.cs
@@ -197,12 +217,20 @@ class Evaluator:
 
         ctx = ExprCtx(
             advice=extend_batch(advice_coeff),
-            fixed=pk.fixed_extended,
+            fixed=extend_batch(fixed_coeff),
             instance=extend_batch(instance_coeff),
             rot_scale=self.rot_scale,
             length=ext_n,
         )
         bf = cs.blinding_factors()
+
+        l_ext = extend_batch(l_coeffs)          # (16, 3, ext_n)
+        l0, l_last, l_blind = (l_ext[:, i, :] for i in range(3))
+        one = F.broadcast_scalar(Fr.r_np, (ext_n,))
+        l_active = F.sub(one, F.add(l_last, l_blind))
+        sigmas_ext = extend_batch(sigmas_coeff)
+        coset_x = F.mul(coset_outer[:, :, None],
+                        coset_inner[:, None, :]).reshape(N_LIMBS, ext_n)
 
         def roll_next(a):
             return jnp.roll(a, -self.rot_scale, axis=-1)
@@ -216,11 +244,10 @@ class Evaluator:
             lookup_m=extend_batch(lookup_ms_coeff),
             lookup_z=extend_batch(lookup_zs_coeff),
             shuffle_z=extend_batch(shuffle_zs_coeff),
-            l0=pk.l0_extended, l_last=pk.l_last_extended,
-            l_active=pk.l_active_extended,
-            coset_x=jnp.asarray(self._coset_x_np),
-            sigmas=lambda j: pk.permutation_pk.sigmas_extended[:, j, :],
-            one=F.broadcast_scalar(Fr.r_np, (ext_n,)),
+            l0=l0, l_last=l_last, l_active=l_active,
+            coset_x=coset_x,
+            sigmas=lambda j: sigmas_ext[:, j, :],
+            one=one,
             roll_next=roll_next, roll_last=roll_last,
             theta=theta, beta=beta, gamma=gamma, y=y, value=value_init)
 
@@ -232,13 +259,19 @@ class Evaluator:
         """Returns h numerator on the extended coset (16, ext_n).
         value_init chains the y-fold across multiple circuit instances
         (batch proofs: proof i+1 continues from proof i's fold)."""
+        pk = self.pk
         if self._jit is None:
             self._jit = jax.jit(self._build)
         if value_init is None:
             value_init = jnp.zeros(
-                (N_LIMBS, self.pk.vk.domain.extended_n), jnp.uint32)
+                (N_LIMBS, pk.vk.domain.extended_n), jnp.uint32)
+        outer, inner, _, _ = self._coset_tabs
+        l_coeffs = jnp.stack(
+            [pk.l0_coeff, pk.l_last_coeff, pk.l_blind_coeff], axis=1)
         return self._jit(advice_coeff, instance_coeff, perm_zs_coeff,
                          lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
+                         pk.fixed_coeff, pk.permutation_pk.sigmas_coeff,
+                         l_coeffs, jnp.asarray(outer), jnp.asarray(inner),
                          jnp.asarray(Fr.encode_scalar(theta)),
                          jnp.asarray(Fr.encode_scalar(beta)),
                          jnp.asarray(Fr.encode_scalar(gamma)),

@@ -124,23 +124,40 @@ class ShardedEvaluator:
             x_local = jnp.where(valid[None, None], g, 0)
         return dist.local_forward(x_local)  # (16, C, ext_n/D)
 
+    def _local_coset_x(self, outer, inner, n2: int):
+        """This shard's coset_x rows from the factored tables:
+        coset_x[i] = outer[i // n2] * inner[i % n2], i = me*L + 0..L-1."""
+        me = jax.lax.axis_index(self.axis)
+        i = me * self.L + jnp.arange(self.L, dtype=jnp.int32)
+        o = jnp.take(outer, i // n2, axis=1)
+        v = jnp.take(inner, i % n2, axis=1)
+        return F.mul(o, v)
+
     # -- the sharded program ----------------------------------------------
     def _local_body(self, advice_coeff, instance_coeff, perm_zs_coeff,
                     lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
-                    fixed_ext_loc, sigmas_ext_loc, l0_loc, l_last_loc,
-                    l_active_loc, coset_x_loc, zeta_pat,
+                    fixed_coeff, sigmas_coeff, l_coeffs,
+                    coset_outer, coset_inner, zeta_pat,
                     theta, beta, gamma, y, value_init_loc):
         cs = self.pk.vk.cs
         bf = cs.blinding_factors()
 
         ctx = ExprCtx(
             advice=self._extend_local(advice_coeff, zeta_pat),
-            fixed=fixed_ext_loc,
+            fixed=self._extend_local(fixed_coeff, zeta_pat),
             instance=self._extend_local(instance_coeff, zeta_pat),
             rot_scale=self.rot_scale,
             length=self.L,
             roll=self._dist_roll,
         )
+        # l0/l_last/l_blind extended locally; l_active derived in place
+        l_ext = self._extend_local(l_coeffs, zeta_pat)
+        l0_loc, l_last_loc, l_blind_loc = (l_ext[:, i, :] for i in range(3))
+        one = F.broadcast_scalar(Fr.r_np, (self.L,))
+        l_active_loc = F.sub(one, F.add(l_last_loc, l_blind_loc))
+        sigmas_ext_loc = self._extend_local(sigmas_coeff, zeta_pat)
+        n2 = self.pk.ev._coset_tabs[3]
+        coset_x_loc = self._local_coset_x(coset_outer, coset_inner, n2)
         return h_fold_body(
             cs, ctx,
             perm_z=self._extend_local(perm_zs_coeff, zeta_pat),
@@ -150,7 +167,7 @@ class ShardedEvaluator:
             l0=l0_loc, l_last=l_last_loc, l_active=l_active_loc,
             coset_x=coset_x_loc,
             sigmas=lambda j: sigmas_ext_loc[:, j, :],
-            one=F.broadcast_scalar(Fr.r_np, (self.L,)),
+            one=one,
             roll_next=lambda a: self._dist_roll(a, self.rot_scale),
             roll_last=lambda a: self._dist_roll(
                 a, -(bf + 1) * self.rot_scale),
@@ -161,13 +178,12 @@ class ShardedEvaluator:
         rep2 = Pspec(None, None)
         rep3 = Pspec(None, None, None)
         shard1 = Pspec(None, self.axis)     # (16, ext_n) row-sharded
-        shard2 = Pspec(None, None, self.axis)
 
         body = shard_map(
             self._local_body, mesh=self.mesh,
             in_specs=(rep3, rep3, rep3, rep3, rep3, rep3,   # coeff stacks
-                      shard2, shard2,                       # fixed, sigmas
-                      shard1, shard1, shard1, shard1,       # l0/l_last/l_act/coset_x
+                      rep3, rep3, rep3,                     # fixed/sigma/l coeffs
+                      rep2, rep2,                           # coset_x tables
                       rep2,                                 # zeta pattern
                       rep, rep, rep, rep,                   # challenges
                       shard1),                              # value_init
@@ -187,13 +203,15 @@ class ShardedEvaluator:
             self._jit = self._build_jit()
         if value_init is None:
             value_init = jnp.zeros((N_LIMBS, domain.extended_n), jnp.uint32)
-        coset_x = jnp.asarray(pk.ev._coset_x_np)
+        outer, inner, _, _ = pk.ev._coset_tabs
+        l_coeffs = jnp.stack(
+            [pk.l0_coeff, pk.l_last_coeff, pk.l_blind_coeff], axis=1)
         return self._jit(
             advice_coeff, instance_coeff, perm_zs_coeff, lookup_ms_coeff,
             lookup_zs_coeff, shuffle_zs_coeff,
-            pk.fixed_extended, pk.permutation_pk.sigmas_extended,
-            pk.l0_extended, pk.l_last_extended, pk.l_active_extended,
-            coset_x, jnp.asarray(domain._zeta_pattern_n),
+            pk.fixed_coeff, pk.permutation_pk.sigmas_coeff, l_coeffs,
+            jnp.asarray(outer), jnp.asarray(inner),
+            jnp.asarray(domain._zeta_pattern_n),
             jnp.asarray(Fr.encode_scalar(theta)),
             jnp.asarray(Fr.encode_scalar(beta)),
             jnp.asarray(Fr.encode_scalar(gamma)),

@@ -7,12 +7,16 @@ TPU re-design of /root/reference/halo2_proofs/src/plonk/keygen.rs:
     encodes)
   * fixed polys batched iNTT; permutation build via
     halo2_tpu.plonk.permutation.build_keys (keygen.rs:379-432)
-  * l0 / l_last / l_blind / l_active_row as extended cosets
+  * l0 / l_last / l_blind kept COEFF-form; every extended coset (fixed,
+    sigma, l-polys) is produced transiently inside the h-evaluation
+    program — the reference cuda path's "coeff resident, extended
+    transient" memory discipline (plonk.rs:226-243,
+    evaluation_gpu.rs:863-911), mandatory for k>=20 HBM budgets
   * vk hash (plonk.rs:91-109): Blake2b-512, personalization
-    "Halo2-Verify-Key" over a canonical pinned string + commitments.
-    NOTE: the pinned string is canonical for THIS implementation, not
-    byte-identical to the Rust Debug format (cross-stack transcript
-    compatibility requires seeding both sides identically anyway).
+    "Halo2-Verify-Key" over the byte-exact Rust Debug rendering of
+    PinnedVerificationKey (plonk/pinned.py)
+  * selector compression (circuit.rs:1603-1734) runs between synthesis and
+    the fixed-column commits, exactly as keygen_vk does (keygen.rs:258-263)
 """
 
 from __future__ import annotations
@@ -43,12 +47,13 @@ class KeygenAssembly(Assignment):
         self.n = n
         self.usable_rows = usable_rows
         self.fixed = [[0] * n for _ in range(cs.num_fixed_columns)]
+        self.selectors = [[False] * n for _ in range(cs.num_selectors)]
         self.perm = perm_mod.Assembly(cs.permutation.columns, n)
 
     def enable_selector(self, selector, row):
         if row >= self.usable_rows:
             raise ValueError("not enough rows available")
-        self.fixed[selector.column.index][row] = 1
+        self.selectors[selector.index][row] = True
 
     def assign_advice(self, column, row, value):
         if row >= self.usable_rows:
@@ -84,6 +89,58 @@ class KeygenAssembly(Assignment):
         return False
 
 
+class _SelectorOnlyAssembly(Assignment):
+    """Synthesis backend that records ONLY selector activations — used to
+    rebuild a compressed ConstraintSystem without re-deriving fixed values
+    (vk/circuit-data loaders need the post-compression CS structure, which
+    depends on which rows each selector enables)."""
+
+    def __init__(self, num_selectors: int, n: int):
+        self.selectors = [[False] * n for _ in range(num_selectors)]
+
+    def enable_selector(self, selector, row):
+        self.selectors[selector.index][row] = True
+
+    def assign_advice(self, column, row, value):
+        pass
+
+    def assign_advice_bulk(self, column, from_row, values):
+        pass
+
+    def assign_fixed(self, column, row, value):
+        pass
+
+    def copy(self, left, right):
+        pass
+
+    def query_instance(self, column, row):
+        return None
+
+    def fill_from_row(self, column, from_row, value):
+        pass
+
+
+def rebuild_cs(circuit, n: int, floor_planner=None):
+    """configure + chunk + selector compression for a circuit, without
+    assigning any values.  Returns (cs, config, degree) where degree is the
+    PRE-compression constraint degree (what keygen sized the domain with —
+    create_domain runs before compression, keygen.rs:34-52).  This is what
+    vk / circuit-data loaders use so the rebuilt CS structure (fixed column
+    count, queries, substituted gates, selector_map) matches keygen's."""
+    cs = ConstraintSystem()
+    config = circuit.configure(cs)
+    cs.chunk_lookups()
+    cs.chunk_shuffles()
+    degree = cs.degree()
+    if cs.num_selectors:
+        assembly = _SelectorOnlyAssembly(cs.num_selectors, n)
+        planner = floor_planner or SimpleFloorPlanner
+        planner.synthesize(assembly, circuit.without_witnesses(), config,
+                           cs.constants)
+        cs.compress_selectors(assembly.selectors)
+    return cs, config, degree
+
+
 class VerifyingKey:
     def __init__(self, domain, cs, fixed_commitments, permutation_vk, k):
         self.domain = domain
@@ -93,37 +150,34 @@ class VerifyingKey:
         self.k = k
 
     def hash_into(self, transcript):
+        """Blake2b-512("Halo2-Verify-Key", len || pinned-debug-string) ->
+        common scalar, byte-identical to VerifyingKey::hash_into
+        (plonk.rs:91-109)."""
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        s = self.pinned()
+        s = self.pinned().encode()
         h.update(len(s).to_bytes(8, "little"))
         h.update(s)
         transcript.common_scalar(int.from_bytes(h.digest(), "little") % P)
 
-    def pinned(self) -> bytes:
-        parts = [
-            f"k={self.k};ext_k={self.domain.extended_k};omega={self.domain.omega}",
-            self.cs.pinned(),
-        ]
-        blob = ";".join(parts).encode()
-        for c in self.fixed_commitments:
-            blob += point_to_bytes(c)
-        for c in self.permutation.commitments:
-            blob += point_to_bytes(c)
-        return blob
+    def pinned(self) -> str:
+        """format!("{:?}", vk.pinned()) — the exact Rust Debug rendering of
+        PinnedVerificationKey (plonk.rs:111-133), see plonk/pinned.py."""
+        from halo2_tpu.fields.bn254 import Fq
+        from halo2_tpu.plonk.pinned import pinned_vk_str
+        return pinned_vk_str(self, base_modulus=Fq.p, scalar_modulus=Fr.p,
+                             omega=self.domain.omega)
 
 
 class ProvingKey:
-    def __init__(self, vk, fixed_lagrange, fixed_coeff, fixed_extended,
-                 permutation_pk, l0_extended, l_last_extended,
-                 l_active_extended):
+    def __init__(self, vk, fixed_lagrange, fixed_coeff, permutation_pk,
+                 l0_coeff, l_last_coeff, l_blind_coeff):
         self.vk = vk
         self.fixed_lagrange = fixed_lagrange
         self.fixed_coeff = fixed_coeff
-        self.fixed_extended = fixed_extended
         self.permutation_pk = permutation_pk
-        self.l0_extended = l0_extended
-        self.l_last_extended = l_last_extended
-        self.l_active_extended = l_active_extended
+        self.l0_coeff = l0_coeff
+        self.l_last_coeff = l_last_coeff
+        self.l_blind_coeff = l_blind_coeff
         self.ev = Evaluator(self)
         self._sharded_evs = {}
 
@@ -168,6 +222,12 @@ def keygen(params, circuit, floor_planner=None):
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(assembly, circuit.without_witnesses(), config, cs.constants)
 
+    # pack selectors into combination fixed columns and substitute their
+    # expressions (keygen.rs:258-263 -> circuit.rs:1603-1734)
+    if cs.num_selectors:
+        combos = cs.compress_selectors(assembly.selectors)
+        assembly.fixed.extend(combos)
+
     # fixed polys
     if cs.num_fixed_columns:
         fixed_lagrange = jnp.stack(
@@ -182,31 +242,20 @@ def keygen(params, circuit, floor_planner=None):
 
     vk = VerifyingKey(domain, cs, fixed_commitments, perm_vk, k)
 
-    # fixed extended cosets
-    if cs.num_fixed_columns:
-        fixed_extended = jnp.stack(
-            [domain.coeff_to_extended_traced(fixed_coeff[:, i, :])
-             for i in range(cs.num_fixed_columns)], axis=1)
-    else:
-        fixed_extended = jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32)
-
-    # lagrange-basis helper polys (keygen.rs:397-432)
+    # lagrange-basis helper polys, coeff-form (keygen.rs:397-432; the
+    # extended cosets are produced inside the h program)
     bf = cs.blinding_factors()
 
-    def lag_ext(one_rows):
+    def lag_coeff(one_rows):
         vals = [0] * n
         for r in one_rows:
             vals[r] = 1
-        lag = jnp.asarray(Fr.encode(vals))
-        coeff = domain.ntt.inverse(lag)
-        return domain.coeff_to_extended_traced(coeff)
+        return domain.ntt.inverse(jnp.asarray(Fr.encode(vals)))
 
-    l0 = lag_ext([0])
-    l_last = lag_ext([n - (bf + 1)])
-    l_blind = lag_ext(range(n - bf, n))
-    one = Fr.broadcast_scalar(Fr.r_np, (domain.extended_n,))
-    l_active = Fr.sub(one, Fr.add(l_last, l_blind))
+    l0 = lag_coeff([0])
+    l_last = lag_coeff([n - (bf + 1)])
+    l_blind = lag_coeff(range(n - bf, n))
 
-    pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, fixed_extended, perm_pk,
-                    l0, l_last, l_active)
+    pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, perm_pk,
+                    l0, l_last, l_blind)
     return vk, pk

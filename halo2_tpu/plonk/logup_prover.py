@@ -2,9 +2,10 @@
 
 Mirrors /root/reference/halo2_proofs/src/plonk/logup/prover.rs:
   * theta-compression of inputs/table on device (Lagrange ctx)
-  * m(X) by host-side exact counting over the decoded compressed values
-    (the reference sorts + binary-searches on CPU too, prover.rs:117-179);
-    equal table entries all map to one representative row
+  * m(X) fully on device: one 16-key stable sort over table+inputs, then
+    prefix-sum segment counting (the reference sorts + binary-searches on
+    CPU, prover.rs:117-179); equal table entries all map to their first
+    occurrence
   * grand sums z via device batch inversion + blocked prefix sums
     (prover.rs:243-415), chunk chaining through last_z, u16 blinding on m
     and full-width blinding on z
@@ -12,6 +13,7 @@ Mirrors /root/reference/halo2_proofs/src/plonk/logup/prover.rs:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,28 +38,73 @@ def compress(argument, lag_ctx: ExprCtx, theta):
     return table, sets
 
 
+@maybe_jit
+def _multiplicities_device(table_std, inputs_std):
+    """Device m(X) core: one 16-key stable sort + prefix-sum segment counts.
+
+    table_std: (16, u) STANDARD-form table limbs; inputs_std: (16, M) all
+    input columns concatenated (standard form).  Returns (m_std (16, u)
+    int counts as standard limbs, ok flag, max_count) — the TPU answer to
+    the reference's parallel sort + binary search with memo cache
+    (logup/prover.rs:117-179).
+
+    Semantics match the host version: all hits of a value count at its
+    FIRST table occurrence; any input value missing from the table flips
+    the ok flag (checked by the caller on host)."""
+    u = table_std.shape[-1]
+    M = inputs_std.shape[-1]
+    both = jnp.concatenate([table_std, inputs_std], axis=-1)  # (16, u+M)
+    N = u + M
+    iota = jnp.arange(N, dtype=jnp.int32)
+    # ONE multi-key stable sort: limbs most-significant first, original
+    # index as the carried value (stability keeps table rows, in original
+    # order, ahead of inputs inside each equal-value run)
+    keys = [both[i] for i in range(N_LIMBS - 1, -1, -1)]
+    *sorted_keys, order = jax.lax.sort(
+        keys + [iota], dimension=-1, is_stable=True, num_keys=N_LIMBS)
+    sorted_limbs = jnp.stack(sorted_keys[::-1], axis=0)     # (16, N)
+
+    is_input = (order >= u)
+    csum = jnp.cumsum(is_input.astype(jnp.int32))            # inclusive
+    neq = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(sorted_limbs[:, 1:] != sorted_limbs[:, :-1], axis=0)])
+    # last index of each equal-value run, broadcast to every position in it
+    last_of_run = jnp.concatenate([neq[1:], jnp.ones((1,), bool)])
+    idx_if_last = jnp.where(last_of_run, iota, N)
+    run_end = jax.lax.cummin(idx_if_last, axis=0, reverse=True)
+    # count of inputs in the run, attributed to the run's FIRST position
+    count = jnp.where(neq, jnp.take(csum, run_end) - csum, 0)
+    # validity: every run must start at a table row
+    ok = ~jnp.any(neq & is_input)
+    max_count = jnp.max(count)
+    # back to original table order: inverse permutation via one more sort
+    inv = jnp.argsort(order)                                  # (N,)
+    m_counts = jnp.take(count, inv[:u])                      # (u,) int32
+    m_std = jnp.zeros((N_LIMBS, u), jnp.uint32)
+    m_std = m_std.at[0].set((m_counts & 0xFFFF).astype(jnp.uint32))
+    m_std = m_std.at[1].set((m_counts >> 16).astype(jnp.uint32))
+    return m_std, ok, max_count
+
+
 def multiplicities(table_dev, input_devs, usable_rows: int, rng, bf: int):
-    """Host-exact m(X): count input hits against the table (first-match
-    representative row).  Returns (m_lagrange (16, n) with u16 blinding
-    tail, m_max_bits)."""
+    """m(X): count input hits against the table (first-match representative
+    row), fully on device.  Returns (m_lagrange (16, n) Montgomery with u16
+    blinding tail, m_max_bits)."""
     n = table_dev.shape[-1]
-    table_vals = limbs_to_ints(np.asarray(Fr.from_mont(table_dev)))[:usable_rows]
-    first_idx: dict[int, int] = {}
-    for i, t in enumerate(table_vals):
-        if t not in first_idx:
-            first_idx[t] = i
-    counts = [0] * n
-    for inp in input_devs:
-        vals = limbs_to_ints(np.asarray(Fr.from_mont(inp)))[:usable_rows]
-        for v in vals:
-            idx = first_idx.get(v)
-            if idx is None:
-                raise ValueError("lookup input value not present in table")
-            counts[idx] += 1
-    m_max_bits = max((c.bit_length() for c in counts), default=1)
-    for r in range(usable_rows, n):
-        counts[r] = rng.randrange(1 << 16)
-    return jnp.asarray(Fr.encode(counts)), max(m_max_bits, 1)
+    table_std = Fr.from_mont(table_dev[:, :usable_rows])
+    inputs_std = Fr.from_mont(
+        jnp.concatenate([inp[:, :usable_rows] for inp in input_devs], axis=-1))
+    m_std, ok, max_count = _multiplicities_device(table_std, inputs_std)
+    if not bool(np.asarray(ok)):
+        raise ValueError("lookup input value not present in table")
+    m_max_bits = max(int(np.asarray(max_count)).bit_length(), 1)
+    # blinding tail (u16 randoms, prover.rs:208-224) appended in standard
+    # form, then ONE device to_mont pass for the whole column
+    tail = np.zeros((N_LIMBS, n - usable_rows), np.uint32)
+    tail[0] = [rng.randrange(1 << 16) for _ in range(n - usable_rows)]
+    full_std = jnp.concatenate([m_std, jnp.asarray(tail)], axis=-1)
+    return Fr.to_mont(full_std), m_max_bits
 
 
 @maybe_jit

@@ -94,9 +94,12 @@ class PermutationVk:
 
 @dataclass
 class PermutationPk:
+    """Sigma polynomials, COEFF-form resident: the extended-coset form is
+    produced transiently inside the h-evaluation program (the reference's
+    cuda-path discipline, plonk.rs:226-243 / evaluation_gpu.rs:863-911) —
+    at k=20+ the at-rest extended cosets would not fit HBM."""
     sigmas_lagrange: jnp.ndarray   # (16, m, n)
     sigmas_coeff: jnp.ndarray      # (16, m, n)
-    sigmas_extended: jnp.ndarray   # (16, m, ext_n)
 
 
 def build_keys(params, domain, assembly: Assembly):
@@ -108,8 +111,7 @@ def build_keys(params, domain, assembly: Assembly):
     if m == 0:
         return PermutationVk([]), PermutationPk(
             jnp.zeros((N_LIMBS, 0, n), jnp.uint32),
-            jnp.zeros((N_LIMBS, 0, n), jnp.uint32),
-            jnp.zeros((N_LIMBS, 0, domain.extended_n), jnp.uint32))
+            jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
     mapping = assembly.mapping()
     omega_tab = jnp.asarray(powers_table_np(domain.omega, n, P, Fr.to_mont_int))
@@ -131,14 +133,7 @@ def build_keys(params, domain, assembly: Assembly):
         commitments.append(g1.decode_points(jnp.stack(aff))[0])
 
     sig_coeff = domain.ntt.inverse(sig_lag)
-
-    ext = []
-    for i in range(m):
-        ext.append(domain.coeff_to_extended_traced(sig_coeff[:, i, :]))
-    sig_ext = jnp.stack(ext, axis=1) if ext else jnp.zeros(
-        (N_LIMBS, 0, domain.extended_n), jnp.uint32)
-
-    return PermutationVk(commitments), PermutationPk(sig_lag, sig_coeff, sig_ext)
+    return PermutationVk(commitments), PermutationPk(sig_lag, sig_coeff)
 
 
 # ---------------------------------------------------------------------------

@@ -57,18 +57,26 @@ class WitnessCollection(Assignment):
         self.instances = instances
         self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
         self.max_assigned = [-1] * cs.num_advice_columns
+        # running max VALUE per column — avoids a full O(n) bit_length pass
+        # per column after synthesis (the bounded-window commit needs only
+        # the max; prover.rs:237-254)
+        self.max_value = [0] * cs.num_advice_columns
 
     def enable_selector(self, selector, row):
-        pass  # fixed at keygen
+        pass  # packed into fixed columns at keygen
 
     def assign_advice(self, column, row, value):
         if row >= self.usable_rows:
             raise ValueError("not enough rows available")
         if value is None:
             raise ValueError("advice value not assigned (synthesis)")
-        self.advice[column.index][row] = value % P
-        if row > self.max_assigned[column.index]:
-            self.max_assigned[column.index] = row
+        v = value % P
+        ci = column.index
+        self.advice[ci][row] = v
+        if row > self.max_assigned[ci]:
+            self.max_assigned[ci] = row
+        if v > self.max_value[ci]:
+            self.max_value[ci] = v
 
     def assign_fixed(self, column, row, value):
         pass
@@ -80,16 +88,44 @@ class WitnessCollection(Assignment):
         return self.instances[column.index][row]
 
     def assign_advice_bulk(self, column, from_row, values):
-        if from_row + len(values) > self.usable_rows:
+        """Vectorized fast path (prover.rs:1525-1781's raw-buffer writes):
+        accepts a list of ints or a numpy integer array; one slice store +
+        one max, no per-cell Python dispatch."""
+        count = len(values)
+        if from_row + count > self.usable_rows:
             raise ValueError("not enough rows available")
-        col = self.advice[column.index]
-        col[from_row: from_row + len(values)] = [v % P for v in values]
-        last = from_row + len(values) - 1
-        if last > self.max_assigned[column.index]:
-            self.max_assigned[column.index] = last
+        ci = column.index
+        col = self.advice[ci]
+        if (isinstance(values, np.ndarray) and values.dtype.kind in "iu"
+                and (count == 0 or int(values.min()) >= 0)):
+            # small-int fast path: already canonical (machine ints < P),
+            # convert once
+            col[from_row: from_row + count] = values.tolist()
+            vmax = int(values.max()) if count else 0
+        else:
+            vals = [v % P for v in values]
+            col[from_row: from_row + count] = vals
+            vmax = max(vals, default=0)
+        last = from_row + count - 1
+        if last > self.max_assigned[ci]:
+            self.max_assigned[ci] = last
+        if vmax > self.max_value[ci]:
+            self.max_value[ci] = vmax
 
     def is_in_prove_mode(self):
         return True
+
+
+def _quantize_max_bits(bits: int) -> int:
+    """Snap a per-column scalar bound to the signed-window grid: the MSM
+    program is keyed by its WINDOW COUNT, so quantizing to the largest bit
+    bound with the same c=13 window count gives exact per-column window
+    counts (prover.rs:237-254 uses the exact bound) while keeping the
+    compile cache small — a 20-bit column now pays 2 windows, not the 5 a
+    64-bit tier forced."""
+    from halo2_tpu.msm.sorted import SIGNED_C_BITS, num_windows_for
+    w = num_windows_for(bits)
+    return min(SIGNED_C_BITS * w - 2, 254)
 
 
 def _commit_affine(params, values, max_bits=256, base="lagrange"):
@@ -215,18 +251,24 @@ def create_proof_multi(params, pk, circuits, instances_list,
             for rel in cs.range_check:
                 fill_and_sort(witness.advice, rel, usable_rows,
                               witness.max_assigned[rel.origin.index])
+                for c in (rel.origin, rel.sort):
+                    witness.max_value[c.index] = max(
+                        witness.max_value[c.index], rel.max)
             # u16 blinding rows (prover.rs:283-290); named advice exempt
             for ci, col in enumerate(witness.advice):
                 if ci in cs.named_advices:
                     continue
                 for r in range(usable_rows, n):
                     col[r] = rng.randrange(1 << 16)
+                witness.max_value[ci] = max(witness.max_value[ci],
+                                            (1 << 16) - 1)
             advice_lagrange = (
                 jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice],
                           axis=1)
                 if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
-            col_bits = [max((v.bit_length() for v in witness.advice[i]),
-                            default=1)
+            # bounded-window commit bound from the running max (no O(n)
+            # host bit-length pass; prover.rs:237-254)
+            col_bits = [max(witness.max_value[i].bit_length(), 1)
                         for i in range(cs.num_advice_columns)]
         else:
             advice_lagrange, col_bits = wa
@@ -239,12 +281,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
                 jnp.asarray(blinds))
             col_bits = [max(b, 16) for b in col_bits]
         for i in range(cs.num_advice_columns):
-            max_bits = col_bits[i]
-            # quantized bound so the MSM program cache hits
-            for tier in (16, 64, 128, 192, 256):
-                if max_bits <= tier:
-                    max_bits = tier
-                    break
+            max_bits = _quantize_max_bits(col_bits[i])
             transcript.write_point(_commit_affine(
                 params, advice_lagrange[:, i, :], max_bits=max_bits))
         advice_lagranges.append(advice_lagrange)
@@ -264,12 +301,8 @@ def create_proof_multi(params, pk, circuits, instances_list,
             flat_inputs = [c for s in input_sets for c in s]
             m_lag, m_bits = logup_prover.multiplicities(
                 table, flat_inputs, usable_rows, rng, bf)
-            for tier in (16, 64, 128, 192, 256):
-                if m_bits <= tier:
-                    m_bits = tier
-                    break
             transcript.write_point(
-                _commit_affine(params, m_lag, max_bits=m_bits))
+                _commit_affine(params, m_lag, max_bits=_quantize_max_bits(m_bits)))
             lookup_data[p_i].append((table, input_sets, m_lag))
 
     _pm("lookup compress+m")

@@ -88,10 +88,12 @@ class Params:
         self.mesh = None                  # set via use_mesh for multi-chip
         self.mesh_axis = "x"
 
-    def use_mesh(self, mesh, axis: str = "x"):
+    def use_mesh(self, mesh, axis="x"):
         """Route every commitment MSM through the sharded multi-chip path
-        (msm/distributed.py): SRS bases and poly values shard over `axis`,
-        window totals reduce over ICI. Pass mesh=None to go single-chip."""
+        (msm/distributed.py): SRS bases and poly values shard over `axis`
+        (one mesh-axis name, or a tuple OUTERMOST-first for 2-D
+        DCN x ICI meshes), window totals reduce innermost-axis-first.
+        Pass mesh=None to go single-chip."""
         self.mesh = mesh
         self.mesh_axis = axis
         return self
@@ -101,10 +103,18 @@ class Params:
     # GPU-vs-CPU gate, arithmetic.rs:442-458)
     MESH_MSM_MIN = 1 << 12
 
+    def _mesh_devices(self) -> int:
+        axes = ((self.mesh_axis,) if isinstance(self.mesh_axis, str)
+                else tuple(self.mesh_axis))
+        d = 1
+        for ax in axes:
+            d *= self.mesh.shape[ax]
+        return d
+
     def _msm(self, bases, values, max_bits: int = 256):
         n = values.shape[1]
         if (self.mesh is not None and n >= self.MESH_MSM_MIN
-                and n % self.mesh.shape[self.mesh_axis] == 0):
+                and n % self._mesh_devices() == 0):
             from halo2_tpu.msm.distributed import msm_sharded
             return msm_sharded(bases, values, self.mesh,
                                axis=self.mesh_axis, max_bits=max_bits)

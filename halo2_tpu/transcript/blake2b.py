@@ -67,7 +67,9 @@ def point_from_bytes(b: bytes):
     sign = (arr[31] >> 7) & 1
     arr[31] &= 0x7F
     x = int.from_bytes(bytes(arr), "little")
-    if x == 0 and sign == 0:
+    if x == 0:
+        if sign:
+            raise ValueError("invalid point encoding in proof")
         return None  # identity
     if x >= Q:
         raise ValueError("invalid point encoding in proof")

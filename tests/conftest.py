@@ -14,6 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough: the ambient axon sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+# overrides JAX_PLATFORMS whenever the TPU tunnel is reachable — mesh tests
+# would silently degenerate to the 1-device axon backend. Re-assert cpu via
+# the config (backends are not initialized yet, so this wins).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the limb-arithmetic graphs are expensive to

@@ -78,3 +78,65 @@ def test_msm_sharded_bounded_bits(mesh):
     got = g1.decode_points(
         jnp.stack(g1.to_affine(tuple(p[:, None] for p in proj))))[0]
     assert got == host.msm(pts, scalars)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("dcn", "ici"))
+
+
+def test_msm_sharded_2d_mesh(mesh2d):
+    """2-D (DCN x ICI) mesh: points shard over all 8 devices, window totals
+    reduce over the inner ICI axis first, then the outer DCN axis — only W
+    reduced window points cross the outer axis (SURVEY §2.20 communication
+    backend row)."""
+    from halo2_tpu.curves import g1, host
+    from halo2_tpu.msm.distributed import msm_sharded
+
+    n = 2048
+    r = random.Random(0xD2D)
+    pts = [host.random_point(r) for _ in range(n)]
+    scalars = [r.randrange(Fr.p) for _ in range(n)]
+    dev_pts = g1.encode_points(pts)
+    dev_scal = jnp.asarray(Fr.encode(scalars))
+    proj = msm_sharded((dev_pts[0], dev_pts[1]), dev_scal, mesh2d,
+                       axis=("dcn", "ici"))
+    got = g1.decode_points(jnp.stack(g1.to_affine(
+        tuple(c[:, None] for c in proj))))[0]
+    want = host.msm(pts, scalars)
+    assert got == want
+
+
+def test_dist_ntt_dcn_batched(mesh2d):
+    """Column-batched NTT on a 2-D mesh: the batch (column) dim shards over
+    the outer DCN axis, each group runs the four-step transform with its
+    all_to_all confined to the inner ICI axis — no cross-DCN collective in
+    the transform at all."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    log_n = 8
+    n = 1 << log_n
+    C = 4  # batch columns, sharded 2-way over dcn
+    xs = [[rng.randrange(Fr.p) for _ in range(n)] for _ in range(C)]
+    a = jnp.stack([jnp.asarray(Fr.encode(col)) for col in xs], axis=1)
+    dist = DistNTT(log_n, mesh2d, axis="ici")
+
+    def local(a_loc):
+        # a_loc: (16, C/2, n) — this dcn group's columns, replicated on ici;
+        # slice this ici-device's columns of the (n1, n2) view and transform
+        x_loc = dist.local_slice_from_flat(a_loc)
+        return dist.local_forward(x_loc)
+
+    body = jax.jit(shard_map(
+        local, mesh=mesh2d,
+        in_specs=(Pspec(None, "dcn", None),),
+        out_specs=Pspec(None, "dcn", "ici"),
+        check_vma=False))
+    got = np.asarray(body(a)).reshape(16, C, n)
+    for ci in range(C):
+        want = Fr.decode(NTT(log_n).forward(a[:, ci, :]))
+        assert Fr.decode(got[:, ci, :]) == want
