@@ -116,28 +116,29 @@ def _unpack_xy(packed):
     return unpack(packed[:8]), unpack(packed[8:])
 
 
-def _prefix_scan_group(px_s, py_s, block: int):
-    """Sorted affine points (16, G, n) -> block-layout prefix sums.
+def _prefix_scan_group(pk_r, sg_r):
+    """Prefix sums over PACKED sorted points in scan layout.
 
-    Layout: n = B*S with block b covering sorted[b*S:(b+1)*S] (contiguous).
-    Scan over S steps, carry (3 coords of (16, G, B)).
-    Returns (intra (3, S, 16, G, B) prefix-inside-block,
-             block_excl (3, 16, G, B) exclusive block offsets)."""
-    G = px_s.shape[1]
-    n = px_s.shape[2]
-    B = block
-    S = n // B
-    # (16, G, B, S) -> scan over S
-    pxr = px_s.reshape(N_LIMBS, G, B, S).transpose(3, 0, 1, 2)
-    pyr = py_s.reshape(N_LIMBS, G, B, S).transpose(3, 0, 1, 2)
+    pk_r: (S, 16, G, B) packed affine words (_pack_xy layout), block b
+    covers sorted positions [b*S, (b+1)*S), step s adds position b*S+s;
+    sg_r: (S, G, B) sign flags (negate y).  The scan body is ONE fused
+    Pallas kernel (unpack + conditional negate + complete mixed add, all
+    in VMEM) — doing the unpack/negate in XLA cost ~14 ms per 2^16 round.
+    Returns (intra (3, S, 16, G, B), block_excl (3, 16, G, B))."""
+    from halo2_tpu.curves import pallas_point
+    G, B = pk_r.shape[2], pk_r.shape[3]
 
     def step(carry, xs):
-        pxt, pyt = xs
-        nxt = g1.add_mixed(carry, (pxt, pyt))
+        pkt, sgt = xs
+        nxt = pallas_point.add_mixed_packed(carry, pkt, sgt)
+        if nxt is None:  # off-TPU fallback (static decision at trace time)
+            qx, qy = _unpack_xy(pkt)
+            qy = jnp.where(sgt[None], Fq.raw.neg(qy), qy)
+            nxt = g1.add_mixed(carry, (qx, qy))
         return nxt, nxt
 
     init = g1.identity((G, B))
-    totals, intra = jax.lax.scan(step, init, (pxr, pyr))
+    totals, intra = jax.lax.scan(step, init, (pk_r, sg_r))
     excl = _exclusive_scan_points(totals)
     return intra, excl
 
@@ -381,13 +382,19 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
         order = jnp.argsort(d, axis=1, stable=True)
         d_sorted = jnp.take_along_axis(d, order, axis=1)
         s_sorted = jnp.take_along_axis(s, order, axis=1)
-        pk_s = jnp.take(packed_xy, order.reshape(-1), axis=1).reshape(
-            N_LIMBS, group, n)
-        px_s, py_pos = _unpack_xy(pk_s)
-        # negate post-gather (a field sub is cheaper than a second
-        # (16, G*n) gather of a precomputed -y array)
-        py_s = jnp.where(s_sorted[None], Fq.raw.neg(py_pos), py_pos)
-        intra, excl = _prefix_scan_group(px_s, py_s, block)
+        S = n // block
+        # permute the INDICES into scan layout before gathering, so the
+        # 84 MB point gather lands directly as (16, S, G, B) and no
+        # minor-axis relayout of the gathered coordinates is ever needed
+        # (the reshape+transpose of the gathered array cost ~27 ms at
+        # 2^16/W=20; this whole stage is ~5 ms)
+        idx_scan = order.reshape(group, block, S).transpose(2, 0, 1)
+        pk_s = jnp.take(packed_xy, idx_scan.reshape(-1), axis=1).reshape(
+            N_LIMBS, S, group, block)
+        s_scan = s_sorted.reshape(group, block, S).transpose(2, 0, 1)
+        # points stay PACKED: the scan-body kernel unpacks and applies the
+        # sign in VMEM (leading-axis swap only; minor dims untouched)
+        intra, excl = _prefix_scan_group(pk_s.transpose(1, 0, 2, 3), s_scan)
         bvals = jnp.arange(nb, dtype=jnp.int32)
         # method='sort' merges boundaries+digits in one device sort (~3 ms)
         # instead of a 16-step binary-search gather chain (~7 ms at 2^16)
