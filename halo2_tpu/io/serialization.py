@@ -8,11 +8,11 @@ poly/commitment.py), `CircuitData` {vkey, fixed, permutation}
 while proving runs on the accelerator box.
 
 TPU-native format choices: big arrays are stored as raw little-endian u32
-limb blocks inside numpy .npz containers (zero-copy mmap-able); the
-ConstraintSystem structure is rebuilt by re-running `configure` (the
-reference stores a custom CS wire format, helpers.rs:406-587 — here circuit
-code is the single source of truth and keys are validated against the vk
-hash instead)."""
+limb blocks inside numpy .npz containers (zero-copy mmap-able); the full
+post-compression ConstraintSystem travels INSIDE the circuit-data file via
+the tagged wire format in io/cs_format.py (write_cs/read_cs, the analogue
+of helpers.rs:406-587) — circuit-data loads do NOT re-run `configure`, so
+keys survive circuit-code refactors; the vk hash is still checked."""
 
 from __future__ import annotations
 
@@ -42,11 +42,16 @@ def load_params(path: str):
 
 def save_circuit_data(pk, path: str, mapping: np.ndarray | None = None) -> None:
     """Persist everything needed to rebuild a ProvingKey without re-running
-    keygen synthesis: fixed lagrange columns, sigma lagrange columns, and
-    the vk hash for integrity (plonk.rs CircuitData::write analogue)."""
+    keygen synthesis OR configure(): the serialized ConstraintSystem
+    (io/cs_format.py), fixed lagrange columns, sigma lagrange columns, the
+    domain degree, and the vk hash for integrity (plonk.rs
+    CircuitData::write + helpers.rs write_cs analogue)."""
+    from halo2_tpu.io.cs_format import write_cs
     np.savez(
         path,
         k=np.int64(pk.vk.k),
+        domain_degree=np.int64(pk.vk.domain.quotient_poly_degree + 1),
+        cs_blob=np.frombuffer(write_cs(pk.vk.cs), dtype=np.uint8).copy(),
         fixed_lagrange=np.asarray(pk.fixed_lagrange),
         sigmas_lagrange=np.asarray(pk.permutation_pk.sigmas_lagrange),
         vk_pinned_hash=np.frombuffer(
@@ -59,18 +64,22 @@ def _vk_digest(vk) -> bytes:
     return hashlib.blake2b(vk.pinned().encode(), digest_size=32).digest()
 
 
-def load_circuit_data(params, circuit, path: str):
-    """Rebuild (vk, pk) from saved circuit data + the circuit's configure()
-    (keygen_pk_from_info analogue, keygen.rs:458-608). Skips synthesis and
-    permutation cycle construction entirely."""
-    from halo2_tpu.plonk.keygen import (ProvingKey, VerifyingKey, rebuild_cs,
+def load_circuit_data(params, path: str, circuit=None):
+    """Rebuild (vk, pk) from saved circuit data ALONE (keygen_pk_from_info
+    analogue, keygen.rs:458-608 + CircuitData::read, plonk.rs:126-204).
+    Skips synthesis, permutation cycle construction, AND configure() — the
+    CS structure comes from the embedded wire blob.  `circuit` is accepted
+    for backwards compatibility and ignored."""
+    from halo2_tpu.plonk.keygen import (ProvingKey, VerifyingKey,
                                         _commit_columns_affine)
     from halo2_tpu.plonk import permutation as perm_mod
     from halo2_tpu.poly.domain import EvaluationDomain
     from halo2_tpu.fields.limbs import N_LIMBS
+    from halo2_tpu.io.cs_format import read_cs
 
     data = np.load(path)
-    cs, _, degree = rebuild_cs(circuit, params.n)
+    cs = read_cs(bytes(data["cs_blob"].tobytes()))
+    degree = int(data["domain_degree"])
     k = int(data["k"])
     assert k == params.k
     domain = EvaluationDomain(degree, k)

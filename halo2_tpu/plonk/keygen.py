@@ -193,13 +193,16 @@ class ProvingKey:
 
 
 def _commit_columns_affine(params, cols_lagrange):
-    """Commit each (16, n) lagrange column; returns host points."""
-    out = []
-    for i in range(cols_lagrange.shape[1]):
-        proj = params.commit_lagrange(cols_lagrange[:, i, :])
-        aff = g1.to_affine(tuple(c[:, None] for c in proj))
-        out.append(g1.decode_points(jnp.stack(aff))[0])
-    return out
+    """Commit each (16, n) lagrange column; returns host points.  All MSMs
+    dispatch async, ONE batched to_affine + host decode at the end."""
+    C = cols_lagrange.shape[1]
+    if C == 0:
+        return []
+    projs = [params.commit_lagrange(cols_lagrange[:, i, :]) for i in range(C)]
+    stacked = tuple(jnp.stack([p[i] for p in projs], axis=1)
+                    for i in range(3))
+    aff = g1.to_affine(stacked)
+    return g1.decode_points(jnp.stack(aff))
 
 
 def keygen(params, circuit, floor_planner=None):

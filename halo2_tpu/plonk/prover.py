@@ -138,6 +138,27 @@ def _commit_affine(params, values, max_bits=256, base="lagrange"):
     return g1.decode_points(jnp.stack(aff))[0]
 
 
+def _commit_affine_many(params, cols_and_bits, base="lagrange"):
+    """Commit many columns with ONE host sync: all MSMs dispatch async,
+    then a single batched to_affine (one batch inversion) + one device->
+    host transfer decodes every point.  The reference gets this overlap
+    from its GPU pool + rayon (prover.rs:411-626); here XLA async dispatch
+    provides the overlap and this function removes the per-column decode
+    sync that would otherwise serialize it."""
+    if not cols_and_bits:
+        return []
+    projs = []
+    for values, max_bits in cols_and_bits:
+        if base == "lagrange":
+            projs.append(params.commit_lagrange(values, max_bits=max_bits))
+        else:
+            projs.append(params.commit(values))
+    stacked = tuple(jnp.stack([p[i] for p in projs], axis=1)
+                    for i in range(3))
+    aff = g1.to_affine(stacked)
+    return g1.decode_points(jnp.stack(aff))
+
+
 def synthesize_witness(pk, circuit, instances, floor_planner=None):
     """Run witness synthesis + range-check fill only; returns (advice host
     int columns, padded instance columns).  Backs the create_witness /
@@ -230,10 +251,12 @@ def create_proof_multi(params, pk, circuits, instances_list,
         lag = (jnp.stack([jnp.asarray(Fr.encode(c)) for c in cols], axis=1)
                if cols else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
         instance_lagranges.append(lag)
-    for p_i in range(num_proofs):
-        for i in range(cs.num_instance_columns):
-            transcript.common_point(
-                _commit_affine(params, instance_lagranges[p_i][:, i, :]))
+    inst_pts = _commit_affine_many(params, [
+        (instance_lagranges[p_i][:, i, :], 256)
+        for p_i in range(num_proofs)
+        for i in range(cs.num_instance_columns)])
+    for pt in inst_pts:
+        transcript.common_point(pt)
 
     _pm("instances")
     # 2. witness synthesis + advice commitments (per proof)
@@ -280,10 +303,10 @@ def create_proof_multi(params, pk, circuits, instances_list,
             advice_lagrange = advice_lagrange.at[:, :, usable_rows:].set(
                 jnp.asarray(blinds))
             col_bits = [max(b, 16) for b in col_bits]
-        for i in range(cs.num_advice_columns):
-            max_bits = _quantize_max_bits(col_bits[i])
-            transcript.write_point(_commit_affine(
-                params, advice_lagrange[:, i, :], max_bits=max_bits))
+        for pt in _commit_affine_many(params, [
+                (advice_lagrange[:, i, :], _quantize_max_bits(col_bits[i]))
+                for i in range(cs.num_advice_columns)]):
+            transcript.write_point(pt)
         advice_lagranges.append(advice_lagrange)
 
     _pm("advice synth+commit")

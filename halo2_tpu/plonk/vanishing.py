@@ -44,8 +44,13 @@ class VanishingProver:
         h_coeff = domain.extended_to_coeff(h)  # (16, n*qd)
         qd = domain.quotient_poly_degree
         pieces = h_coeff.reshape(16, qd, domain.n)
-        commitments = [_commit_coeff_affine(self.params, pieces[:, i, :])
-                       for i in range(qd)]
+        # all piece MSMs dispatch async; ONE batched to_affine + host decode
+        from halo2_tpu.curves import g1 as _g1
+        import jax.numpy as _jnp
+        projs = [self.params.commit(pieces[:, i, :]) for i in range(qd)]
+        stacked = tuple(_jnp.stack([p[i] for p in projs], axis=1)
+                        for i in range(3))
+        commitments = _g1.decode_points(_jnp.stack(_g1.to_affine(stacked)))
         return pieces, commitments
 
     def fold_h(self, pieces, xn: int):

@@ -38,7 +38,9 @@ def test_circuit_data_rebuild(setup, tmp_path):
     params, vk, pk = setup
     path = tmp_path / "cd.npz"
     save_circuit_data(pk, str(path))
-    vk2, pk2 = load_circuit_data(params, SimpleCircuit(), str(path))
+    # self-contained: NO circuit / configure() involved in the load
+    vk2, pk2 = load_circuit_data(params, str(path))
+    assert vk2.pinned() == vk.pinned()
     # the rebuilt pk proves, and the original vk verifies the proof
     out = expected_out(3, 5)
     proof = create_proof(params, pk2, SimpleCircuit(3, 5), [[out]], seed=0)
@@ -46,19 +48,38 @@ def test_circuit_data_rebuild(setup, tmp_path):
     assert verify_proof(pv, vk, [[out]], proof)
 
 
-def test_circuit_data_rejects_wrong_circuit(setup, tmp_path):
+def test_circuit_data_rejects_tampering(setup, tmp_path):
+    """The vk pinned-hash check catches a modified CS blob (the reference
+    relies on read_cs + the transcript's vk hash the same way)."""
+    import numpy as np
+    from halo2_tpu.io.cs_format import read_cs, write_cs
+
     params, _, pk = setup
     path = tmp_path / "cd.npz"
     save_circuit_data(pk, str(path))
-
-    class Other(SimpleCircuit):
-        def configure(self, meta):
-            cfg = super().configure(meta)
-            meta.advice_column()  # extra column changes the pinned cs
-            return cfg
-
+    data = dict(np.load(str(path)))
+    cs = read_cs(bytes(data["cs_blob"].tobytes()))
+    cs.num_advice_columns += 1  # structural change -> different pinned vk
+    cs.num_advice_queries.append(0)
+    data["cs_blob"] = np.frombuffer(write_cs(cs), dtype=np.uint8).copy()
+    tampered = tmp_path / "cd_tampered.npz"
+    np.savez(str(tampered), **data)
     with pytest.raises(ValueError):
-        load_circuit_data(params, Other(), str(path))
+        load_circuit_data(params, str(tampered))
+
+
+def test_cs_wire_roundtrip(setup, tmp_path):
+    """write_cs/read_cs round-trips the full CS byte-exactly (pinned string
+    equality) — helpers.rs:406-587 analogue."""
+    from halo2_tpu.io.cs_format import read_cs, write_cs
+    from halo2_tpu.plonk.pinned import pinned_cs_str
+
+    _, vk, _ = setup
+    blob = write_cs(vk.cs)
+    cs2 = read_cs(blob)
+    assert pinned_cs_str(cs2) == pinned_cs_str(vk.cs)
+    assert write_cs(cs2) == blob
+    assert cs2.blinding_factors() == vk.cs.blinding_factors()
 
 
 def test_witness_split_flow(setup, tmp_path):
