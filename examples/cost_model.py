@@ -54,28 +54,40 @@ class Estimator:
         self.sample_k = min(k, sample_k if sample_k is not None else 14)
 
     def _slope(self, make_chain, n_short=1, n_long=3):
+        # minima of short and long timings are taken INDEPENDENTLY across
+        # repetitions before the slope is formed: a single noisy repetition
+        # where the short chain times long would otherwise clamp the whole
+        # estimate to ~0 (ADVICE r2)
         f_s, f_l = make_chain(n_short), make_chain(n_long)
         sync = lambda x: np.asarray(jax.tree_util.tree_leaves(x)[0])[..., :1]
         sync(f_s()); sync(f_l())  # compile
-        best = 1e18
-        for _ in range(2):
-            t0 = time.time(); sync(f_s()); s = time.time() - t0
-            t0 = time.time(); sync(f_l()); l = time.time() - t0
-            best = min(best, max(l - s, 1e-9))
-        return best / (n_long - n_short)
+        best_s = best_l = 1e18
+        for _ in range(3):
+            t0 = time.time(); sync(f_s()); best_s = min(best_s, time.time() - t0)
+            t0 = time.time(); sync(f_l()); best_l = min(best_l, time.time() - t0)
+        diff = best_l - best_s
+        if diff <= 0:
+            raise RuntimeError(
+                f"non-positive slope ({best_l:.4f}s long vs {best_s:.4f}s "
+                "short) — timing noise exceeded the measured work; rerun "
+                "with a larger --sample-k")
+        return diff / (n_long - n_short)
 
     def msm_seconds(self, size: int) -> float:
         """Measured seconds for one size-`size` full-width MSM."""
         from halo2_tpu.curves import g1
         from halo2_tpu.fields.bn254 import Fr
         from halo2_tpu.msm.sorted import msm_sorted
+        import random
         n = 1 << self.sample_k
-        rs = np.random.RandomState(0)
+        rng = random.Random(0)
         gx, gy = g1.generator()
         px = jnp.broadcast_to(gx[:, None], gx.shape + (n,))
         py = jnp.broadcast_to(gy[:, None], gy.shape + (n,))
+        # uniform in [1, r): the digit distribution matches real proving
+        # (62-bit scalars would leave every window above bit 62 empty)
         scal = jnp.asarray(Fr.encode(
-            [rs.randint(1, 2**62) for _ in range(n)]))
+            [rng.randrange(1, Fr.p) for _ in range(n)]))
 
         def make_chain(iters):
             def run():
@@ -157,6 +169,23 @@ def synthetic_circuit(args):
     return cs
 
 
+def _rotation_set(cs):
+    """Distinct multiopen rotations for a built CS (mirrors
+    CircuitCost.measure, dev/cost.py)."""
+    rotations = {r for _, r in (cs.advice_queries + cs.fixed_queries
+                                + cs.instance_queries)}
+    rotations |= {0, 1}
+    chunk = max(cs.degree() - 2, 1)
+    perm_sets = -(-len(cs.permutation.columns) // chunk) \
+        if cs.permutation.columns else 0
+    chained = (perm_sets > 1
+               or any(len(lk.input_expressions_sets) > 1
+                      for lk in cs.lookups))
+    if chained:
+        rotations.add(-(cs.blinding_factors() + 1))
+    return rotations
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     rot = lambda s: [int(r) for r in s.split(",")]
@@ -198,7 +227,11 @@ def main():
         shuffle_groups=len(cs.shuffles),
         usable_rows=cs.usable_rows(n),
         blinding_factors=cs.blinding_factors(),
-        num_rotations=3,
+        # distinct multiopen rotations, derived from the actual query set
+        # exactly as CircuitCost.measure does (dev/cost.py): every query
+        # rotation, plus cur/next for the z polynomials, plus the
+        # chained-set "last" rotation when z chaining is in play
+        num_rotations=len(_rotation_set(cs)),
     )
 
     est = Estimator(args.k, args.sample_k)
@@ -215,8 +248,11 @@ def main():
              cost.instance_columns + cost.permutation_columns +
              cost.permutation_sets + 3 * cost.lookups + cost.shuffle_groups)
     prover_s = n_msm * msm_s + n_ntt * ntt_s + n_ext * ext_ntt_s
-    # verifier: transcript replay + 2 MSMs of ~proof_points size + pairing
-    verify_s = 2 * msm_s * (cost.proof_points() / n) + 0.05
+    # verifier: transcript replay + 2 MSMs of ~proof_points size + pairing.
+    # The MSMs are ~30 points — fixed dispatch/window overhead dominates at
+    # that size, so linearly downscaling the 2^k measurement is meaningless;
+    # treat them as part of the constant overhead term (ADVICE r2).
+    verify_s = 0.05
 
     print(f"circuit: k={args.k} degree={degree} "
           f"advice={cost.advice_columns} fixed={cost.fixed_columns} "

@@ -16,6 +16,13 @@ Fidelity features (dev.rs parity):
     (index, name, offset) when one matches.
   * **Selector compression** runs exactly as in keygen (dev.rs compresses
     in MockProver::run as well).
+  * **CellNotAssigned** (dev.rs:143-155, 962-999): within each region,
+    every cell queried by a gate whose selector is enabled there must be
+    assigned.
+  * **verify_at_rows** (dev.rs:940): gate/lookup checks restricted to a
+    row subset.
+  * Permutation failures report the mismatching VALUES (instance-value
+    mismatch debugging).
 """
 
 from __future__ import annotations
@@ -50,12 +57,18 @@ class FailureLocation:
 @dataclass
 class VerifyFailure:
     """Typed failure (dev.rs VerifyFailure variants).  kind is one of
-    "gate" | "gate_poisoned" | "permutation" | "lookup" | "shuffle"."""
+    "cell_not_assigned" | "gate" | "gate_poisoned" | "permutation" |
+    "lookup" | "shuffle"."""
     kind: str
     detail: str
     gate: str | None = None
     constraint: str | None = None
     location: FailureLocation | None = None
+    # cell_not_assigned extras (dev.rs:143-155): the column and the offset
+    # relative to the region start (may be negative when a rotation reaches
+    # before the region)
+    column: tuple | None = None
+    offset: int | None = None
 
     def __repr__(self):
         loc = f" ({self.location})" if self.location is not None else ""
@@ -68,12 +81,21 @@ class _RegionRecord:
     name: str
     rows: list = field(default_factory=lambda: [None, None])  # [min, max]
     columns: set = field(default_factory=set)  # (ctype, index)
+    # exact assigned cells (ctype, col_index, row) and per-selector enabled
+    # rows — the inputs to the CellNotAssigned check (dev.rs:296-334:
+    # Region { enabled_selectors, cells })
+    cells: set = field(default_factory=set)
+    enabled_selectors: dict = field(default_factory=dict)  # sel_idx -> [rows]
 
     def note(self, ctype, col_index, row):
         self.columns.add((ctype, col_index))
+        self.cells.add((ctype, col_index, row))
         lo, hi = self.rows
         self.rows = [row if lo is None else min(lo, row),
                      row if hi is None else max(hi, row)]
+
+    def is_assigned(self, ctype, col_index, row) -> bool:
+        return (ctype, col_index, row) in self.cells
 
 
 class _MockAssembly(Assignment):
@@ -104,6 +126,9 @@ class _MockAssembly(Assignment):
         self._check(row)
         self.selectors[selector.index][row] = True
         self._note("selector", selector.index, row)
+        if self._region is not None:
+            self._region.enabled_selectors.setdefault(
+                selector.index, []).append(row)
 
     def assign_advice(self, column, row, value):
         self._check(row)
@@ -116,9 +141,8 @@ class _MockAssembly(Assignment):
             raise ValueError("not enough rows available")
         col = self.advice[column.index]
         col[from_row: from_row + len(values)] = [v % P for v in values]
-        if values:
-            self._note("advice", column.index, from_row)
-            self._note("advice", column.index, from_row + len(values) - 1)
+        for r in range(from_row, from_row + len(values)):
+            self._note("advice", column.index, r)
 
     def assign_fixed(self, column, row, value):
         self._check(row)
@@ -222,6 +246,30 @@ class MockProver:
         assembly = _MockAssembly(cs, n, usable, inst_cols)
         planner = floor_planner or SimpleFloorPlanner
         planner.synthesize(assembly, circuit, config, cs.constants)
+        # capture each gate's queried (virtual) selectors and queried cells
+        # BEFORE compression substitutes the selector expressions — the
+        # CellNotAssigned check needs them (dev.rs:962-999 uses
+        # gate.queried_selectors()/queried_cells())
+        from halo2_tpu.plonk import circuit as cir
+        gate_selectors, gate_cells = [], []
+        for gate in cs.gates:
+            sels, qcells = set(), set()
+            for poly in gate.polys:
+                def walk(e):
+                    if isinstance(e, cir.SelectorExpr):
+                        sels.add(e.selector.index)
+                    elif isinstance(e, cir.AdviceQuery):
+                        qcells.add(("advice", e.column_index, e.rotation))
+                    elif isinstance(e, cir.FixedQuery):
+                        qcells.add(("fixed", e.column_index, e.rotation))
+                    elif isinstance(e, (cir.Negated, cir.Scaled)):
+                        walk(e.expr)
+                    elif isinstance(e, (cir.Sum, cir.Product)):
+                        walk(e.a)
+                        walk(e.b)
+                walk(poly)
+            gate_selectors.append(sels)
+            gate_cells.append(qcells)
         # pack selectors into combination fixed columns, exactly as keygen
         # does (dev.rs runs compress_selectors in MockProver::run too)
         if cs.num_selectors:
@@ -230,7 +278,10 @@ class MockProver:
         from halo2_tpu.plonk.range_check import fill_and_sort
         for rel in cs.range_check:
             fill_and_sort(assembly.advice, rel, usable, -1)
-        return cls(cs, config, assembly, n)
+        prover = cls(cs, config, assembly, n)
+        prover._gate_selectors = gate_selectors
+        prover._gate_cells = gate_cells
+        return prover
 
     # -- located failures ----------------------------------------------------
     def _locate(self, row: int, columns=()) -> FailureLocation:
@@ -265,17 +316,63 @@ class MockProver:
         return cols
 
     def verify(self) -> list:
+        return self.verify_at_rows(range(self.assembly.usable_rows),
+                                   range(self.assembly.usable_rows))
+
+    def _verify_cells_assigned(self) -> list:
+        """CellNotAssigned (dev.rs:962-999): within each region, every cell
+        queried by a gate whose selector is enabled in that region must have
+        been assigned.  Instance cells are excluded — they are not assigned
+        into regions."""
         failures = []
+        n = self.n
+        for r in self.assembly.regions:
+            for sel_idx, at_rows in r.enabled_selectors.items():
+                for gi, gate in enumerate(self.cs.gates):
+                    if sel_idx not in self._gate_selectors[gi]:
+                        continue
+                    for sel_row in at_rows:
+                        for ctype, col, rot in sorted(self._gate_cells[gi]):
+                            cell_row = (sel_row + n + rot) % n
+                            if r.is_assigned(ctype, col, cell_row):
+                                continue
+                            failures.append(VerifyFailure(
+                                "cell_not_assigned",
+                                f"{ctype} column {col} not assigned in "
+                                f"region {r.index} ('{r.name}') for active "
+                                f"gate '{gate.name}'",
+                                gate=gate.name,
+                                location=FailureLocation(
+                                    cell_row, r.index, r.name,
+                                    cell_row - r.rows[0]),
+                                column=(ctype, col),
+                                offset=cell_row - r.rows[0]))
+        return failures
+
+    def verify_at_rows(self, gate_row_ids, lookup_input_row_ids) -> list:
+        """Row-subset verification (dev.rs:940-1030 verify_at_rows): gate
+        constraints are checked only on `gate_row_ids` (plus the blinding
+        rows, for poison detection), lookup inputs only on
+        `lookup_input_row_ids`.  Both iterables must lie in the usable
+        rows."""
+        gate_row_ids = list(gate_row_ids)
+        lookup_input_row_ids = list(lookup_input_row_ids)
         cs, asm = self.cs, self.assembly
         usable = asm.usable_rows
+        for row in gate_row_ids + lookup_input_row_ids:
+            if not (0 <= row < usable):
+                raise ValueError(f"invalid row id {row}")
+        failures = []
         n = self.n
         blinding_rows = range(n - (cs.blinding_factors() + 1), n)
+
+        failures.extend(self._verify_cells_assigned())
 
         for gate in cs.gates:
             for pi, poly in enumerate(gate.polys):
                 cols = self._expr_columns(poly)
                 poisoned_reported = False
-                for row in list(range(usable)) + list(blinding_rows):
+                for row in gate_row_ids + list(blinding_rows):
                     val = _eval_poison(
                         poly,
                         lambda q, r=row: asm.cell_value(
@@ -305,13 +402,19 @@ class MockProver:
             lv = asm.cell_value(left.column, left.row)
             rv = asm.cell_value(right.column, right.row)
             if lv is POISON or rv is POISON or lv != rv:
+                # report the mismatching VALUES — for instance columns this
+                # is the "expected public input X, circuit produced Y"
+                # debugging affordance (dev.rs permutation failure detail)
+                def _fmt(v):
+                    return "<poison>" if v is POISON else hex(v)
                 failures.append(VerifyFailure(
                     "permutation",
-                    f"copy {left.column}@{left.row} != {right.column}@{right.row}",
+                    f"copy {left.column}@{left.row} (= {_fmt(lv)}) != "
+                    f"{right.column}@{right.row} (= {_fmt(rv)})",
                     location=self._locate(
                         left.row, {(left.column.ctype, left.column.index)})))
 
-        failures.extend(self._verify_lookups())
+        failures.extend(self._verify_lookups(lookup_input_row_ids))
         failures.extend(self._verify_shuffles())
         return failures
 
@@ -327,10 +430,12 @@ class MockProver:
                                      row + q.rotation))
         return 0 if v is POISON else v
 
-    def _verify_lookups(self):
+    def _verify_lookups(self, input_row_ids=None):
         out = []
         cs = self.cs
         usable = self.assembly.usable_rows
+        if input_row_ids is None:
+            input_row_ids = range(usable)
 
         for li, lookup in enumerate(cs.lookups):
             table = set()
@@ -342,7 +447,7 @@ class MockProver:
                     cols = set()
                     for e in inputs:
                         cols |= self._expr_columns(e)
-                    for row in range(usable):
+                    for row in input_row_ids:
                         tup = tuple(self._eval_at(e, row) for e in inputs)
                         if tup not in table:
                             out.append(VerifyFailure(

@@ -339,9 +339,14 @@ class Field:
         return (x * self.R_inv) % self.p
 
     def encode(self, xs) -> np.ndarray:
-        """Python ints (canonical) -> (16, N) uint32 Montgomery limbs.
-        Uses the native (C++) encoder when available (~4x)."""
-        xs = list(xs)
+        """Canonical values -> (16, N) uint32 Montgomery limbs.
+
+        xs: iterable of Python ints, or a numpy integer array (columnar
+        fast path — no per-value Python work; see native.encode_mont_np).
+        Uses the native (C++) encoder when available (~4x; ~100x for numpy
+        columns)."""
+        if not (isinstance(xs, np.ndarray) and xs.dtype.kind in "iu"):
+            xs = list(xs)
         try:
             from halo2_tpu import native
             out = native.encode_mont_np(xs, self)
@@ -349,7 +354,8 @@ class Field:
                 return out
         except Exception:
             pass
-        return ints_to_limbs_np([self.to_mont_int(x % self.p) for x in xs])
+        return ints_to_limbs_np([self.to_mont_int(int(x) % self.p)
+                                 for x in xs])
 
     def encode_scalar(self, x: int) -> np.ndarray:
         return int_to_limbs_np(self.to_mont_int(x % self.p))

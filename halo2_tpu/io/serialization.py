@@ -156,8 +156,10 @@ def save_witness(advice_cols: list, path: str) -> None:
     analogue; the bounds back the bounded-window MSM fast path)."""
     arrs = np.stack([np.asarray(Fr.encode(col)) for col in advice_cols], axis=1) \
         if advice_cols else np.zeros((16, 0, 0), np.uint32)
-    bits = np.asarray([max((v.bit_length() for v in col), default=1)
-                       for col in advice_cols], dtype=np.int64)
+    bits = np.asarray(
+        [max(int(col.max() if isinstance(col, np.ndarray) else max(col, default=0)
+                 ).bit_length(), 1)
+         for col in advice_cols], dtype=np.int64)
     np.savez(path, advice=arrs, max_bits=bits)
 
 

@@ -44,15 +44,37 @@ def available() -> bool:
 
 
 def encode_mont_np(values, field):
-    """List of canonical ints -> (16, N) uint32 Montgomery limbs (numpy),
-    via the native encoder; None if unavailable."""
+    """Canonical values -> (16, N) uint32 Montgomery limbs (numpy), via the
+    native encoder; None if unavailable.
+
+    values: a list of ints, OR a numpy integer array (the columnar fast
+    path: the canonical 32-byte rows are built by numpy, no per-value
+    Python loop at all — this is what makes witness encode at k=20 cheap,
+    VERDICT r2 #5)."""
     if _native is None:
         return None
     import numpy as np
     p = field.p
-    blob = b"".join((v % p).to_bytes(32, "little") for v in values)
+    n = len(values)
+    blob = None
+    arr = None
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        arr = values.astype(np.uint64, copy=False)
+    else:
+        try:
+            # machine-int fast path: raises OverflowError when any value
+            # needs more than 64 bits (then the exact bigint path runs)
+            arr = np.asarray(values, dtype=np.uint64)
+        except (OverflowError, TypeError, ValueError):
+            arr = None
+    if arr is not None:
+        quad = np.zeros((n, 4), dtype="<u8")
+        quad[:, 0] = arr
+        blob = quad.tobytes()
+    else:
+        blob = b"".join((v % p).to_bytes(32, "little") for v in values)
     out = _native.encode_mont(blob, _consts(field))
-    return np.frombuffer(out, dtype=np.uint32).reshape(16, len(values)).copy()
+    return np.frombuffer(out, dtype=np.uint32).reshape(16, n).copy()
 
 
 def decode_mont_np(limbs, field):

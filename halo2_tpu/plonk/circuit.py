@@ -9,13 +9,14 @@ Python re-design of /root/reference/halo2_proofs/src/plonk/circuit.rs
   * `ConstraintSystem` with gates, equality-enabled columns (the permutation
     argument), degree / blinding_factors / minimum_rows (circuit.rs:1862-1956)
 
-Selector design difference (documented, intentional): the reference keeps
-virtual `Selector`s and packs them into fixed columns via
-`compress_selectors` (circuit.rs:1603-1734). Here every selector is DIRECTLY
-backed by its own fixed column at creation — `query_selector` returns a fixed
-query, and `enable_selector` writes 1 into that column.  Same proving
-semantics, no compression pass; a packing optimization can be added behind
-the same API later.
+Selectors follow the reference design: `Selector`s are VIRTUAL during
+configure (`query_selector` returns an Expression.Selector node), and
+keygen packs them into combination fixed columns via `compress_selectors`
+below (the exclusion-matrix packer, mirroring circuit.rs:1603-1734 +
+compress_selectors.rs), substituting each selector expression with the
+combination-column polynomial.  `enable_selector` records activations in
+the assembly; the packed fixed columns are appended after synthesis
+(keygen.py).
 
 Field values are canonical Python ints mod Fr.p at this layer; the device
 limb encoding happens in keygen/prover.
@@ -126,6 +127,46 @@ class Expression:
 
     def identifier(self) -> str:
         raise NotImplementedError
+
+    def evaluate_lazy(self, constant, fixed_q, advice_q, instance_q,
+                      negated, sum_, product, scaled, zero):
+        """Closure fold with the multiplication short-circuit: if one side
+        of a Product evaluates to `zero`, the other side is NOT evaluated
+        (Expression::evaluate_lazy, circuit.rs:703-787).  `zero` is the
+        caller's zero representative, compared with ==."""
+        h = (constant, fixed_q, advice_q, instance_q, negated, sum_,
+             product, scaled)
+        if isinstance(self, Product):
+            a = self.a.evaluate_lazy(*h, zero)
+            if a == zero:
+                return a
+            return product(a, self.b.evaluate_lazy(*h, zero))
+        if isinstance(self, Sum):
+            return sum_(self.a.evaluate_lazy(*h, zero),
+                        self.b.evaluate_lazy(*h, zero))
+        if isinstance(self, Negated):
+            return negated(self.expr.evaluate_lazy(*h, zero))
+        if isinstance(self, Scaled):
+            return scaled(self.expr.evaluate_lazy(*h, zero), self.scalar)
+        return self.evaluate(*h)
+
+    def complexity(self) -> int:
+        """Approximate evaluation cost (Expression::complexity,
+        circuit.rs:820-860): queries cost 1, add 15, mul 30, scale 30."""
+        if isinstance(self, Constant):
+            return 0
+        if isinstance(self, (SelectorExpr, FixedQuery, AdviceQuery,
+                             InstanceQuery)):
+            return 1
+        if isinstance(self, Negated):
+            return self.expr.complexity() + 5
+        if isinstance(self, Sum):
+            return self.a.complexity() + self.b.complexity() + 15
+        if isinstance(self, Product):
+            return self.a.complexity() + self.b.complexity() + 30
+        if isinstance(self, Scaled):
+            return self.expr.complexity() + 30
+        raise TypeError(type(self))
 
 
 def _coerce(v) -> Expression:

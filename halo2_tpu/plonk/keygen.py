@@ -13,8 +13,9 @@ TPU re-design of /root/reference/halo2_proofs/src/plonk/keygen.rs:
     transient" memory discipline (plonk.rs:226-243,
     evaluation_gpu.rs:863-911), mandatory for k>=20 HBM budgets
   * vk hash (plonk.rs:91-109): Blake2b-512, personalization
-    "Halo2-Verify-Key" over the byte-exact Rust Debug rendering of
-    PinnedVerificationKey (plonk/pinned.py)
+    "Halo2-Verify-Key" over the Rust Debug rendering of
+    PinnedVerificationKey (plonk/pinned.py; format-mirrored from the
+    reference source, not yet machine-diffed against Rust output)
   * selector compression (circuit.rs:1603-1734) runs between synthesis and
     the fixed-column commits, exactly as keygen_vk does (keygen.rs:258-263)
 """
@@ -170,8 +171,15 @@ class VerifyingKey:
 
 class ProvingKey:
     def __init__(self, vk, fixed_lagrange, fixed_coeff, permutation_pk,
-                 l0_coeff, l_last_coeff, l_blind_coeff):
+                 l0_coeff, l_last_coeff, l_blind_coeff, config=None):
         self.vk = vk
+        # the config object produced by the ONE configure() run at keygen
+        # time; the prover reuses it for witness synthesis instead of
+        # re-running configure() on a throwaway CS (which silently desyncs
+        # columns if configure() has any statefulness). None only for pks
+        # rebuilt from serialized circuit-data, where no Circuit instance
+        # exists (io/serialization.py).
+        self.config = config
         self.fixed_lagrange = fixed_lagrange
         self.fixed_coeff = fixed_coeff
         self.permutation_pk = permutation_pk
@@ -260,5 +268,5 @@ def keygen(params, circuit, floor_planner=None):
     l_blind = lag_coeff(range(n - bf, n))
 
     pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, perm_pk,
-                    l0, l_last, l_blind)
+                    l0, l_last, l_blind, config=config)
     return vk, pk

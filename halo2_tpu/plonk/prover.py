@@ -48,14 +48,23 @@ P = Fr.p
 
 class WitnessCollection(Assignment):
     """Witness synthesis backend (prover.rs:1525-1781): advice values into
-    host column buffers; copies/fixed are keygen artifacts and ignored."""
+    host column buffers; copies/fixed are keygen artifacts and ignored.
+
+    Columnar representation: each column starts as a numpy uint64 buffer
+    (the common case — real witness values are machine ints), so bulk
+    assignment and the canonical->Montgomery encode are loop-free all the
+    way to the device (native/encoder.cpp consumes the buffer directly).
+    The first full-width (>= 2^64) value DEGRADES that column to a Python
+    int list — exact bigint semantics are kept, only the fast path is
+    lost."""
 
     def __init__(self, cs, n, usable_rows, instances):
         self.cs = cs
         self.n = n
         self.usable_rows = usable_rows
         self.instances = instances
-        self.advice = [[0] * n for _ in range(cs.num_advice_columns)]
+        self.advice = [np.zeros(n, np.uint64)
+                       for _ in range(cs.num_advice_columns)]
         self.max_assigned = [-1] * cs.num_advice_columns
         # running max VALUE per column — avoids a full O(n) bit_length pass
         # per column after synthesis (the bounded-window commit needs only
@@ -65,6 +74,12 @@ class WitnessCollection(Assignment):
     def enable_selector(self, selector, row):
         pass  # packed into fixed columns at keygen
 
+    def _degrade(self, ci):
+        """numpy column -> Python int list (first big value)."""
+        if isinstance(self.advice[ci], np.ndarray):
+            self.advice[ci] = [int(v) for v in self.advice[ci]]
+        return self.advice[ci]
+
     def assign_advice(self, column, row, value):
         if row >= self.usable_rows:
             raise ValueError("not enough rows available")
@@ -72,7 +87,10 @@ class WitnessCollection(Assignment):
             raise ValueError("advice value not assigned (synthesis)")
         v = value % P
         ci = column.index
-        self.advice[ci][row] = v
+        col = self.advice[ci]
+        if isinstance(col, np.ndarray) and v >> 64:
+            col = self._degrade(ci)
+        col[row] = v
         if row > self.max_assigned[ci]:
             self.max_assigned[ci] = row
         if v > self.max_value[ci]:
@@ -96,14 +114,23 @@ class WitnessCollection(Assignment):
             raise ValueError("not enough rows available")
         ci = column.index
         col = self.advice[ci]
-        if (isinstance(values, np.ndarray) and values.dtype.kind in "iu"
-                and (count == 0 or int(values.min()) >= 0)):
-            # small-int fast path: already canonical (machine ints < P),
-            # convert once
-            col[from_row: from_row + count] = values.tolist()
-            vmax = int(values.max()) if count else 0
+        arr = None
+        if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+            arr = values.astype(np.uint64, copy=False)
         else:
-            vals = [v % P for v in values]
+            try:
+                arr = np.asarray(values, dtype=np.uint64)
+            except (OverflowError, TypeError, ValueError):
+                arr = None
+        if arr is not None and isinstance(col, np.ndarray):
+            # columnar path: one slice store, no Python per-cell work
+            col[from_row: from_row + count] = arr
+            vmax = int(arr.max()) if count else 0
+        else:
+            if isinstance(col, np.ndarray):
+                col = self._degrade(ci)
+            vals = [v % P for v in values] if arr is None \
+                else [int(v) for v in arr]
             col[from_row: from_row + count] = vals
             vmax = max(vals, default=0)
         last = from_row + count - 1
@@ -175,7 +202,7 @@ def synthesize_witness(pk, circuit, instances, floor_planner=None):
         raise ValueError("wrong number of instance columns")
     witness = WitnessCollection(cs, n, usable_rows, instance_cols)
     planner = floor_planner or SimpleFloorPlanner
-    planner.synthesize(witness, circuit, witness_config(circuit, cs),
+    planner.synthesize(witness, circuit, witness_config(pk, circuit),
                        cs.constants)
     from halo2_tpu.plonk.range_check import fill_and_sort
     for rel in cs.range_check:
@@ -268,7 +295,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
                                         instance_cols_list[p_i])
             planner = floor_planner or SimpleFloorPlanner
             planner.synthesize(witness, circuits[p_i],
-                               witness_config(circuits[p_i], cs), cs.constants)
+                               witness_config(pk, circuits[p_i]), cs.constants)
             # range-check fill + counting sort (prover.rs:1699-1779)
             from halo2_tpu.plonk.range_check import fill_and_sort
             for rel in cs.range_check:
@@ -528,11 +555,17 @@ def create_proof_multi(params, pk, circuits, instances_list,
     return transcript.finalize()
 
 
-def witness_config(circuit, cs):
-    """Re-run configure on the already-built CS? No — configure must run
-    exactly once (it allocates columns).  The prover needs the same config
-    object the keygen CS produced; we rebuild it deterministically on a
-    throwaway CS and rely on allocation determinism."""
+def witness_config(pk, circuit):
+    """The config object for witness synthesis.
+
+    Primary path: the pk stores the config produced by the single
+    configure() run at keygen time (ProvingKey.config) — guaranteed in
+    sync with the keygen CS even if configure() is stateful.  Fallback
+    (pk rebuilt from serialized circuit-data, where no Circuit instance
+    existed at load time): re-run configure on a throwaway CS and rely on
+    allocation determinism."""
+    if pk.config is not None:
+        return pk.config
     from halo2_tpu.plonk.circuit import ConstraintSystem
     probe = ConstraintSystem()
     return circuit.configure(probe)

@@ -146,13 +146,29 @@ class Params:
         denom_invs = _batch_inv_host(denoms, R)
         lag = [multiplier * rp % R * di % R for rp, di in zip(root_pows, denom_invs)]
 
-        gen = jnp.stack(g1.generator())
-        gen_b = (jnp.broadcast_to(gen[0][:, None], (16, n)),
-                 jnp.broadcast_to(gen[1][:, None], (16, n)))
-        g_proj = g1.scalar_mul(gen_b, jnp.asarray(ints_to_limbs_np(powers)))
-        g_dev = jnp.stack(g1.to_affine(g_proj))
-        gl_proj = g1.scalar_mul(gen_b, jnp.asarray(ints_to_limbs_np(lag)))
-        gl_dev = jnp.stack(g1.to_affine(gl_proj))
+        import jax
+        import os
+        host_max = int(os.environ.get("HALO2_TPU_SETUP_HOST_MAX", "8192"))
+        if jax.default_backend() == "cpu" and n <= host_max:
+            # CPU backend: fixed-base host math instead of compiling the
+            # device scalar-mul ladder (~60 s XLA CPU compile per distinct
+            # k — the test suite pays it for every Params size otherwise)
+            from halo2_tpu.curves import host
+            tab = host.fixed_base_tables(host.G1_GEN)
+            pts_g = [host.jac_to_affine(host.fixed_base_mul(tab, e))
+                     for e in powers]
+            pts_l = [host.jac_to_affine(host.fixed_base_mul(tab, e))
+                     for e in lag]
+            g_dev = g1.encode_points(pts_g)
+            gl_dev = g1.encode_points(pts_l)
+        else:
+            gen = jnp.stack(g1.generator())
+            gen_b = (jnp.broadcast_to(gen[0][:, None], (16, n)),
+                     jnp.broadcast_to(gen[1][:, None], (16, n)))
+            g_proj = g1.scalar_mul(gen_b, jnp.asarray(ints_to_limbs_np(powers)))
+            g_dev = jnp.stack(g1.to_affine(g_proj))
+            gl_proj = g1.scalar_mul(gen_b, jnp.asarray(ints_to_limbs_np(lag)))
+            gl_dev = jnp.stack(g1.to_affine(gl_proj))
 
         s_g2 = pairing.g2_mul(pairing.G2_GEN, s)
         return cls(k, g_dev, gl_dev, s_g2)

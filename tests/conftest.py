@@ -10,6 +10,15 @@ import sys
 # local virtual-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The CPU test session only validates semantics, never performance: run the
+# XLA CPU backend at optimization level 0 (the same trick the driver dryrun
+# uses, __graft_entry__._setup_jax_caching) — the big limb graphs compile
+# minutes at default effort and made test_e2e.py alone exceed 10 minutes.
+if "--xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_backend_optimization_level=0").strip()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402

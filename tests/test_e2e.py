@@ -194,6 +194,37 @@ def test_batch_verifier(setup):
     assert not batch2.finalize(pv)
 
 
+def test_stateful_configure_single_run(setup):
+    """configure() must run exactly ONCE (at keygen); the prover reuses the
+    config stored on the pk (ProvingKey.config) instead of re-running
+    configure on a throwaway CS — a stateful configure() would silently
+    desync prover columns from keygen columns otherwise (VERDICT r2 #7)."""
+    params, _, _ = setup
+
+    class StatefulCircuit(SimpleCircuit):
+        configure_calls = 0
+
+        def without_witnesses(self):
+            return StatefulCircuit()
+
+        def configure(self, meta):
+            # class-level state: any second configure() call (same or
+            # different instance) blows up
+            StatefulCircuit.configure_calls += 1
+            if StatefulCircuit.configure_calls > 1:
+                raise AssertionError("configure() ran more than once")
+            return super().configure(meta)
+
+    vk2, pk2 = keygen(params, StatefulCircuit())
+    assert pk2.config is not None
+    a, b = 3, 5
+    out = expected_out(a, b)
+    proof = create_proof(params, pk2, StatefulCircuit(a, b), [[out]], seed=0)
+    assert StatefulCircuit.configure_calls == 1
+    pv = params.verifier(1)
+    assert verify_proof(pv, vk2, [[out]], proof)
+
+
 def test_multi_instance_proof(setup):
     """Batch proving: two circuit instances in ONE proof (the reference's
     create_proof over &[ConcreteCircuit])."""

@@ -12,6 +12,14 @@ from halo2_tpu.msm import msm_host_result
 rng = random.Random(0xD15C0)
 
 
+@pytest.fixture(autouse=True)
+def _force_device_msm(monkeypatch):
+    """These are differential tests OF the device MSM paths — disable the
+    CPU-backend host fallback (msm.msm._host_fallback_ok) so they keep
+    covering the device code."""
+    monkeypatch.setenv("HALO2_TPU_MSM_HOST_MAX", "0")
+
+
 def run_case(n, scalars=None, lanes=4, max_bits=256):
     pts = [host.random_point(rng) for _ in range(n)]
     if scalars is None:
