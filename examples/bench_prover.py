@@ -13,7 +13,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 jax.config.update("jax_compilation_cache_dir",
-                  __file__.rsplit("/", 2)[0] + "/.jax_cache")
+                  __file__.rsplit("/", 2)[0] + (
+                      "/.jax_cache" if jax.default_backend() == "cpu"
+                      else "/.jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from halo2_tpu.fields.bn254 import Fr
@@ -85,14 +87,40 @@ def main():
     vk, pk = keygen(params, MulChainCircuit(rows))
     print(f"keygen: {time.time()-t0:.1f}s", flush=True)
 
+    # witness synthesis+encode alone (columnar fast path; VERDICT r2 #5
+    # wants synthesis+encode <= 20% of warm prove time)
+    from halo2_tpu.plonk.prover import synthesize_witness
+    import jax.numpy as jnp
+    import numpy as np
+    t0 = time.time()
+    advice, _ = synthesize_witness(pk, MulChainCircuit(rows), [])
+    synth_s = time.time() - t0
+    t0 = time.time()
+    enc = [jnp.asarray(Fr.encode(c)) for c in advice]
+    _ = [np.asarray(e[:1, :1]) for e in enc]
+    enc_s = time.time() - t0
+    print(f"synthesis: {synth_s:.2f}s ({rows/max(synth_s,1e-9):.0f} rows/s); "
+          f"encode+transfer: {enc_s:.2f}s", flush=True)
+    del enc
+
     t0 = time.time()
     proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=0)
     print(f"prove (compile+first): {time.time()-t0:.1f}s "
           f"({len(proof)} bytes)", flush=True)
+    from halo2_tpu.utils import profiling
+    if os.environ.get("HALO2_TPU_PROFILE") == "1":
+        profiling.reset()
     t0 = time.time()
     proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=1)
     dt = time.time() - t0
     print(f"prove (warm): {dt:.2f}s  ({n/dt:.0f} rows/s)", flush=True)
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats:
+        print(f"HBM peak: {stats.get('peak_bytes_in_use', 0)/2**30:.2f} GiB "
+              f"(in use {stats.get('bytes_in_use', 0)/2**30:.2f} GiB)",
+              flush=True)
+    if os.environ.get("HALO2_TPU_PROFILE") == "1":
+        profiling.report()
     t0 = time.time()
     ok = verify_proof(params.verifier(1), vk, [], proof)
     print(f"verify: {time.time()-t0:.1f}s valid={ok}", flush=True)

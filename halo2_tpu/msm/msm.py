@@ -255,8 +255,11 @@ def msm(points, scalars_mont, max_bits: int = 256, lanes: int | None = None,
     (msm/sorted.py — XLA TPU scatter serializes per element); small sizes
     use the lane-private-bucket scatter path below.
     """
+    from halo2_tpu.utils import profiling
+    profiling.incr("msm_calls")
     px, py = points
     n = px.shape[1]
+    profiling.incr("msm_points", n)
     num_windows = min((max_bits + C_BITS - 1) // C_BITS, 32)
 
     if _host_fallback_ok(px, py, scalars_mont, n, force_scatter):

@@ -210,10 +210,14 @@ class NTT:
 
     def forward(self, a):
         """Coefficients -> evaluations at {omega^i}. a: (16, *mid, n) Montgomery."""
+        from halo2_tpu.utils import profiling
+        profiling.incr("ntt_calls")
         return self._fwd_jit(a, self._tables_dev(False))
 
     def inverse(self, a):
         """Evaluations -> coefficients (divides by n)."""
+        from halo2_tpu.utils import profiling
+        profiling.incr("ntt_calls")
         return self._inv_jit(a, self._tables_dev(True))
 
     def inverse_nodiv(self, a):
