@@ -75,52 +75,18 @@ def main():
     scalars = jnp.asarray(sc)
 
     def stage_fn(stage):
-        """Returns f(px, py, scalars) -> digest for the pipeline prefix."""
+        """Returns f(px, py, scalars) -> digest for the pipeline prefix —
+        calls the REAL window_totals with its _profile_stage hook (no
+        duplicated pipeline; what's measured is what runs)."""
         def run(px, py, scalars_mont):
-            scal = Fr.raw.from_mont(scalars_mont)
-            mag, neg = ms._signed_digits(scal, W0, c)
-            if w_pad:
-                mag = jnp.concatenate([mag, jnp.zeros((w_pad, n), jnp.int32)], 0)
-                neg = jnp.concatenate([neg, jnp.zeros((w_pad, n), bool)], 0)
-            dg = mag.reshape(n_groups, group, n)
-            sg = neg.reshape(n_groups, group, n)
-            packed_xy = ms._pack_xy(px, py)
-
-            def one_group(_, ds_):
-                d, s = ds_
-                order = jnp.argsort(d, axis=1, stable=True)
-                d_sorted = jnp.take_along_axis(d, order, axis=1)
-                s_sorted = jnp.take_along_axis(s, order, axis=1)
-                S = n // block
-                idx_scan = order.reshape(group, block, S).transpose(2, 0, 1)
-                pk_s = jnp.take(packed_xy, idx_scan.reshape(-1), axis=1).reshape(
-                    N_LIMBS, S, group, block)
-                s_scan = s_sorted.reshape(group, block, S).transpose(2, 0, 1)
-                if stage == 1:
-                    return None, (jnp.sum(pk_s, dtype=jnp.uint32)
-                                  + jnp.sum(d_sorted, dtype=jnp.int32).astype(jnp.uint32))
-                intra, excl = ms._prefix_scan_group(
-                    pk_s.transpose(1, 0, 2, 3), s_scan)
-                if stage == 2:
-                    return None, (jnp.sum(intra[0][-1], dtype=jnp.uint32)
-                                  + jnp.sum(excl[0], dtype=jnp.uint32))
-                bvals = jnp.arange(nb, dtype=jnp.int32)
-                ends = jax.vmap(
-                    lambda row: jnp.searchsorted(row, bvals, side="right",
-                                                 method="sort"))(
-                    d_sorted).astype(jnp.int32) - 1
-                e_pts = ms._gather_boundary_prefix(intra, excl, ends, block, n)
-                return None, ms._abel_window_totals(e_pts, nb)
-
-            _, out = jax.lax.scan(one_group, None, (dg, sg))
+            out = ms.window_totals(px, py, scalars_mont, 256, group, block,
+                                   _profile_stage=stage if stage <= 2 else None)
             if stage <= 2:
                 return out.reshape(-1)[:1]
-            totals = tuple(
-                o.transpose(1, 0, 2).reshape(N_LIMBS, W) for o in out)
             if stage == 3:
-                return totals[0][:1, 0]
+                return out[0][:1, 0]
             from halo2_tpu.msm.msm import _combine_windows
-            res = _combine_windows(totals, c)
+            res = _combine_windows(out, c)
             return res[0][:1]
         return run
 

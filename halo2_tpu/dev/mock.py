@@ -133,21 +133,23 @@ class _MockAssembly(Assignment):
     def assign_advice(self, column, row, value):
         self._check(row)
         if value is not None:
-            self.advice[column.index][row] = value % P
+            self.advice[column.index][row] = int(value) % P
         self._note("advice", column.index, row)
 
     def assign_advice_bulk(self, column, from_row, values):
         if from_row + len(values) > self.usable_rows:
             raise ValueError("not enough rows available")
         col = self.advice[column.index]
-        col[from_row: from_row + len(values)] = [v % P for v in values]
+        # int() first: numpy scalars raise OverflowError on % with a
+        # 254-bit Python-int modulus
+        col[from_row: from_row + len(values)] = [int(v) % P for v in values]
         for r in range(from_row, from_row + len(values)):
             self._note("advice", column.index, r)
 
     def assign_fixed(self, column, row, value):
         self._check(row)
         if value is not None:
-            self.fixed[column.index][row] = value % P
+            self.fixed[column.index][row] = int(value) % P
         self._note("fixed", column.index, row)
 
     def copy(self, left, right):
@@ -161,7 +163,7 @@ class _MockAssembly(Assignment):
         if value is None:
             return
         for r in range(from_row, self.usable_rows):
-            self.fixed[column.index][r] = value % P
+            self.fixed[column.index][r] = int(value) % P
 
     def _check(self, row):
         if row >= self.usable_rows:

@@ -116,29 +116,37 @@ def _unpack_xy(packed):
     return unpack(packed[:8]), unpack(packed[8:])
 
 
-def _prefix_scan_group(pk_r, sg_r):
+def _prefix_scan_group(pk_rows, sg_r):
     """Prefix sums over PACKED sorted points in scan layout.
 
-    pk_r: (S, 16, G, B) packed affine words (_pack_xy layout), block b
+    pk_rows: (S, G, B, 16) packed affine words, ROW-major (16 limb words
+    contiguous per point — the layout the 64-byte-row HBM gather produces;
+    the step transposes its 2.6MB slice to the kernel's limb-major layout,
+    ~50us, vs ~17 ms for gathering limb-major directly at 2^16).  Block b
     covers sorted positions [b*S, (b+1)*S), step s adds position b*S+s;
     sg_r: (S, G, B) sign flags (negate y).  The scan body is ONE fused
     Pallas kernel (unpack + conditional negate + complete mixed add, all
     in VMEM) — doing the unpack/negate in XLA cost ~14 ms per 2^16 round.
-    Returns (intra (3, S, 16, G, B), block_excl (3, 16, G, B))."""
+
+    Returns (intra: 3 coords of (S, G, B, 16) ROW-major — the layout the
+    boundary gather wants, emitted per step so no 252MB transpose of the
+    stacked array is ever needed; block_excl: 3 coords of (16, G, B))."""
     from halo2_tpu.curves import pallas_point
-    G, B = pk_r.shape[2], pk_r.shape[3]
+    G, B = pk_rows.shape[1], pk_rows.shape[2]
 
     def step(carry, xs):
-        pkt, sgt = xs
+        pkt_rows, sgt = xs
+        pkt = pkt_rows.transpose(2, 0, 1)            # (16, G, B)
         nxt = pallas_point.add_mixed_packed(carry, pkt, sgt)
         if nxt is None:  # off-TPU fallback (static decision at trace time)
             qx, qy = _unpack_xy(pkt)
             qy = jnp.where(sgt[None], Fq.raw.neg(qy), qy)
             nxt = g1.add_mixed(carry, (qx, qy))
-        return nxt, nxt
+        intra_rows = tuple(c.transpose(1, 2, 0) for c in nxt)
+        return nxt, intra_rows
 
     init = g1.identity((G, B))
-    totals, intra = jax.lax.scan(step, init, (pk_r, sg_r))
+    totals, intra = jax.lax.scan(step, init, (pk_rows, sg_r))
     excl = _exclusive_scan_points(totals)
     return intra, excl
 
@@ -259,29 +267,30 @@ def _sum_points_lastaxis(pts, seq: int = 64):
 def _gather_boundary_prefix(intra, excl, ends, block: int, n: int):
     """Prefix point at sorted position e (may be -1 -> identity).
 
-    intra: (3, S, 16, G, B); excl: 3 x (16, G, B); ends: (G, NB) int32
-    positions.  position e -> block b = e // S, step s = e % S;
+    intra: 3 coords of (S, G, B, 16) ROW-major (the scan emits this layout
+    directly); excl: 3 x (16, G, B); ends: (G, NB) int32 positions.
+    position e -> block b = e // S, step s = e % S;
     prefix[e] = excl[b] + intra[s, b].
 
-    Gathers run LIMB-MINOR: the (S, 16, G, B) prefix history is transposed
-    to (S*G*B, 16) rows first so each boundary index reads one contiguous
-    64-byte row instead of 16 strided words — measured ~30x faster on TPU
-    (0.97 ms vs ~30 ms for the W=20, 2^16 shape)."""
+    Every gather is a contiguous 64-byte-row read: intra is already
+    limb-minor, excl (5 MB) is transposed once.  The old limb-major
+    variant transposed the full 252MB intra stack and gathered 16-way
+    strided words (~20 ms of the round-2 MSM's 63 ms at 2^16)."""
     S = n // block
     G, nb = ends.shape
     b_idx = jnp.clip(ends // S, 0, block - 1)
     s_idx = jnp.clip(ends % S, 0, S - 1)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (G, nb), 0)
+    fidx = (s_idx * G + g_iota) * block + b_idx       # (G, nb) row ids
+    eidx = g_iota * block + b_idx
 
     def gather_coord(intra_c, excl_c):
-        # intra_c: (S, 16, G, B) -> pick [s_idx[g,j], :, g, b_idx[g,j]]
-        SS, L, GG, BB = intra_c.shape
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (GG, nb), 0)
-        fidx = (s_idx * GG + g_iota) * BB + b_idx     # (G, nb)
-        eidx = g_iota * BB + b_idx
-        flat = intra_c.transpose(1, 0, 2, 3).reshape(L, SS * GG * BB)
-        picked = jnp.take(flat, fidx.reshape(-1), axis=1).reshape(L, GG, nb)
-        eflat = excl_c.reshape(L, GG * BB)
-        epick = jnp.take(eflat, eidx.reshape(-1), axis=1).reshape(L, GG, nb)
+        rows = intra_c.reshape(S * G * block, N_LIMBS)
+        picked = jnp.take(rows, fidx.reshape(-1), axis=0)
+        picked = picked.reshape(G, nb, N_LIMBS).transpose(2, 0, 1)
+        erows = excl_c.transpose(1, 2, 0).reshape(G * block, N_LIMBS)
+        epick = jnp.take(erows, eidx.reshape(-1), axis=0)
+        epick = epick.reshape(G, nb, N_LIMBS).transpose(2, 0, 1)
         return picked, epick
 
     coords = [gather_coord(intra[c], excl[c]) for c in range(3)]
@@ -329,6 +338,32 @@ def _abel_window_totals(e_pts, nb: int):
     return g1.add(acc, g1.neg(s_sum))
 
 
+def _bucket_ends(d, nb: int, chunk: int = 1 << 16):
+    """ends[g, b] = (# of digits <= b) - 1 — the bucket-boundary positions
+    in the sorted order (-1 when the prefix is empty).
+
+    Histogram on the MXU: split each digit into hi (d >> 6) and lo (d & 63)
+    one-hot bf16 factors; counts[g, hi, lo] = sum_i A[g,i,hi] * B[g,i,lo]
+    is a batched matmul (exact: 0/1 values, f32 accumulation, n < 2^24).
+    Replaces searchsorted-on-sorted (~10 ms at 2^16/W=20 vs ~0.5 ms) and
+    depends only on the UNSORTED digits, so XLA overlaps it with the
+    point gather/scan.  n is chunked to bound the one-hot materialization
+    (~170 MB per 2^16 chunk at W=20)."""
+    G, n = d.shape
+    n_hi = ((nb - 1) >> 6) + 1
+    hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
+    lo_iota = jnp.arange(64, dtype=jnp.int32)
+    counts = jnp.zeros((G, n_hi, 64), jnp.float32)
+    for c0 in range(0, n, chunk):
+        dc = d[:, c0:c0 + chunk]
+        a = ((dc[:, :, None] >> 6) == hi_iota[None, None, :]).astype(jnp.bfloat16)
+        b = ((dc[:, :, None] & 63) == lo_iota[None, None, :]).astype(jnp.bfloat16)
+        counts = counts + jnp.einsum(
+            "gnh,gnl->ghl", a, b, preferred_element_type=jnp.float32)
+    counts = counts.astype(jnp.int32).reshape(G, n_hi * 64)[:, :nb]
+    return jnp.cumsum(counts, axis=1) - 1
+
+
 def num_windows_for(max_bits: int, c: int = SIGNED_C_BITS) -> int:
     """Window count for the signed-c-bit path. Scalars are canonical
     (< 2^254 for BN254 Fr), so 254 caps the useful bit range; the +2 spare
@@ -342,7 +377,8 @@ def num_windows_for(max_bits: int, c: int = SIGNED_C_BITS) -> int:
 
 
 def window_totals(px, py, scalars_mont, max_bits: int, group: int,
-                  block: int, c: int = SIGNED_C_BITS):
+                  block: int, c: int = SIGNED_C_BITS,
+                  _profile_stage: int | None = None):
     """Traceable per-window signed-bucket totals over THIS shard's points.
 
     px/py: (16, n) Montgomery affine; scalars_mont: (16, n).  Returns
@@ -371,41 +407,53 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
             [neg, jnp.zeros((w_pad, n), bool)], axis=0)
     dg = mag.reshape(n_groups, group, n)
     sg = neg.reshape(n_groups, group, n)
-    # ONE gather source for x and y, LIMB-MINOR (n, 16): each gathered index
-    # reads a contiguous 64-byte row (vs 16 strided words limb-major) —
-    # measured ~2.4x faster including the transpose back (13.8 vs 33 ms at
-    # W=20, 2^16)
-    packed_xy = _pack_xy(px, py)  # (16, n): ONE gather source for x and y
+    # ONE gather source for x and y, ROW-major (n, 16): each gathered index
+    # reads one contiguous 64-byte row — the limb-major (16, n) gather read
+    # 16 strided words per index and cost ~17 ms of the 63 ms 2^16 MSM.
+    # The barrier forces the transpose to MATERIALIZE: XLA otherwise fuses
+    # it into the gather's operand, silently re-creating the strided reads
+    # (raw row gather: 2.5 ms for 1.3M rows; fused-transpose: ~17 ms).
+    packed_rows = jax.lax.optimization_barrier(_pack_xy(px, py).T)  # (n, 16)
 
     def one_group(_, ds):
         d, s = ds  # (G, n) magnitudes, (G, n) sign flags
-        order = jnp.argsort(d, axis=1, stable=True)
-        d_sorted = jnp.take_along_axis(d, order, axis=1)
-        s_sorted = jnp.take_along_axis(s, order, axis=1)
+        # fold the sign bit into the sort key: lax.sort_key_val returns the
+        # sorted keys ALONGSIDE the permutation, so the sorted sign flags
+        # fall out of the sort for free — a take_along_axis of the bool
+        # flags cost ~14 ms at 2^16/W=20 (ablation f1, profile_gather.py).
+        # Order within a bucket is irrelevant (bucket sums commute).
+        key = (d << 1) | s.astype(jnp.int32)
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], (group, n))
+        key_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
         S = n // block
         # permute the INDICES into scan layout before gathering, so the
-        # 84 MB point gather lands directly as (16, S, G, B) and no
-        # minor-axis relayout of the gathered coordinates is ever needed
-        # (the reshape+transpose of the gathered array cost ~27 ms at
-        # 2^16/W=20; this whole stage is ~5 ms)
-        idx_scan = order.reshape(group, block, S).transpose(2, 0, 1)
-        pk_s = jnp.take(packed_xy, idx_scan.reshape(-1), axis=1).reshape(
-            N_LIMBS, S, group, block)
-        s_scan = s_sorted.reshape(group, block, S).transpose(2, 0, 1)
+        # point gather lands directly as (S, G, B, 16) rows and no full
+        # relayout of the gathered array is ever needed
+        idx_scan = jax.lax.optimization_barrier(
+            order.reshape(group, block, S).transpose(2, 0, 1))
+        pk_s = jnp.take(packed_rows, idx_scan.reshape(-1), axis=0).reshape(
+            S, group, block, N_LIMBS)
+        s_scan = (key_sorted & 1).astype(bool).reshape(
+            group, block, S).transpose(2, 0, 1)
+        if _profile_stage == 1:   # examples/profile_msm.py stage hook
+            return None, (jnp.sum(pk_s, dtype=jnp.uint32)
+                          + jnp.sum(s_scan, dtype=jnp.int32).astype(jnp.uint32))
         # points stay PACKED: the scan-body kernel unpacks and applies the
-        # sign in VMEM (leading-axis swap only; minor dims untouched)
-        intra, excl = _prefix_scan_group(pk_s.transpose(1, 0, 2, 3), s_scan)
-        bvals = jnp.arange(nb, dtype=jnp.int32)
-        # method='sort' merges boundaries+digits in one device sort (~3 ms)
-        # instead of a 16-step binary-search gather chain (~7 ms at 2^16)
-        ends = jax.vmap(
-            lambda row: jnp.searchsorted(row, bvals, side="right",
-                                         method="sort"))(
-            d_sorted).astype(jnp.int32) - 1      # (G, nb), -1 if empty
+        # sign in VMEM
+        intra, excl = _prefix_scan_group(pk_s, s_scan)
+        if _profile_stage == 2:
+            return None, (jnp.sum(intra[0][-1], dtype=jnp.uint32)
+                          + jnp.sum(excl[0], dtype=jnp.uint32))
+        # bucket boundaries from the UNSORTED digits (MXU histogram +
+        # cumsum) — overlaps with the gather/scan above
+        ends = _bucket_ends(d, nb)
         e_pts = _gather_boundary_prefix(intra, excl, ends, block, n)
         return None, _abel_window_totals(e_pts, nb)
 
     _, totals = jax.lax.scan(one_group, None, (dg, sg))
+    if _profile_stage in (1, 2):
+        return totals
     # totals: 3 coords of (n_groups, 16, group) -> (16, W)
     tx = totals[0].transpose(1, 0, 2).reshape(N_LIMBS, W)
     ty = totals[1].transpose(1, 0, 2).reshape(N_LIMBS, W)

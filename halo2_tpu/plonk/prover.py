@@ -85,7 +85,7 @@ class WitnessCollection(Assignment):
             raise ValueError("not enough rows available")
         if value is None:
             raise ValueError("advice value not assigned (synthesis)")
-        v = value % P
+        v = int(value) % P
         ci = column.index
         col = self.advice[ci]
         if isinstance(col, np.ndarray) and v >> 64:
@@ -129,7 +129,7 @@ class WitnessCollection(Assignment):
         else:
             if isinstance(col, np.ndarray):
                 col = self._degrade(ci)
-            vals = [v % P for v in values] if arr is None \
+            vals = [int(v) % P for v in values] if arr is None \
                 else [int(v) for v in arr]
             col[from_row: from_row + count] = vals
             vmax = max(vals, default=0)
