@@ -226,14 +226,34 @@ class NTT:
         /root/reference/halo2_proofs/src/poly/domain.rs:124-131)."""
         return self._fwd_jit(a, self._tables_dev(True))
 
-    # traceable versions for composition inside larger jitted programs.
-    # Twiddles enter as numpy trace constants here (the caller's program
-    # owns them and XLA keeps them as literals).
-    def forward_traced(self, a):
-        return self._transform(a, self._tables_np(False))
+    def mid_dev(self, inverse: bool):
+        """The (16, n2, n1) mid-twiddle table as a DEVICE array — the O(n)
+        table that callers of the *_traced methods at large n must thread
+        through their jit as an ARGUMENT: baked as an HLO constant it is
+        64 B x n (134 MB at ext_k=21), which blows the axon tunnel's
+        remote-compile request limit (HTTP 413) and bloats every cache
+        entry.  The stage tables are O(sqrt n) and stay constants."""
+        key = ("mid", inverse)
+        if key not in self._tables_dev_cache:
+            self._tables_dev_cache[key] = jax.device_put(
+                np.asarray(self._tables_np(inverse)["mid"]))
+        return self._tables_dev_cache[key]
 
-    def inverse_traced(self, a):
-        out = self._transform(a, self._tables_np(True))
+    # traceable versions for composition inside larger jitted programs.
+    # Twiddles enter as numpy trace constants (the caller's program owns
+    # them, XLA keeps them as literals) UNLESS the caller passes `mid` —
+    # mandatory for large domains, see mid_dev above.
+    def forward_traced(self, a, mid=None):
+        tb = self._tables_np(False)
+        if mid is not None:
+            tb = dict(tb, mid=mid)
+        return self._transform(a, tb)
+
+    def inverse_traced(self, a, mid=None):
+        tb = self._tables_np(True)
+        if mid is not None:
+            tb = dict(tb, mid=mid)
+        out = self._transform(a, tb)
         return F.mul(out, self.n_inv_mont.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
 
 

@@ -199,21 +199,24 @@ class Evaluator:
     def _build(self, advice_coeff, instance_coeff, perm_zs_coeff,
                lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
                fixed_coeff, sigmas_coeff, l_coeffs, coset_outer, coset_inner,
-               theta, beta, gamma, y, value_init):
+               ext_mid, theta, beta, gamma, y, value_init):
         pk = self.pk
         cs = pk.vk.cs
         domain = pk.vk.domain
         ext_n = domain.extended_n
 
         def extend_batch(coeffs):
-            # (16, C, n) -> (16, C, ext_n)
+            # (16, C, n) -> (16, C, ext_n); ext_mid enters as a jit ARG —
+            # as an HLO constant the O(ext_n) table blows the axon
+            # remote-compile request limit at k=20 (NTT.mid_dev)
             if coeffs.shape[1] == 0:
                 return jnp.zeros((N_LIMBS, 0, ext_n), jnp.uint32)
-            zp = jnp.asarray(domain._zeta_pattern_n)[:, None, :]
+            zp = domain._zeta_tile_traced(domain.g_coset,
+                                          domain.n)[:, None, :]
             shifted = F.mul(coeffs, zp)
             padded = jnp.zeros((N_LIMBS, coeffs.shape[1], ext_n), jnp.uint32)
             padded = padded.at[:, :, : domain.n].set(shifted)
-            return domain.ntt_ext.forward_traced(padded)
+            return domain.ntt_ext.forward_traced(padded, mid=ext_mid)
 
         ctx = ExprCtx(
             advice=extend_batch(advice_coeff),
@@ -272,6 +275,7 @@ class Evaluator:
                          lookup_ms_coeff, lookup_zs_coeff, shuffle_zs_coeff,
                          pk.fixed_coeff, pk.permutation_pk.sigmas_coeff,
                          l_coeffs, jnp.asarray(outer), jnp.asarray(inner),
+                         pk.vk.domain.ntt_ext.mid_dev(False),
                          jnp.asarray(Fr.encode_scalar(theta)),
                          jnp.asarray(Fr.encode_scalar(beta)),
                          jnp.asarray(Fr.encode_scalar(gamma)),

@@ -136,6 +136,16 @@ class EvaluationDomain:
         vals = (pat * reps)[:length]
         return ints_to_limbs_np([F.to_mont_int(v) for v in vals])
 
+    def _zeta_tile_traced(self, z: int, length: int):
+        """The zeta tile built IN-TRACE from a (16, 3) constant: inside a
+        jitted program the host tile would bake an O(n) HLO constant
+        (64 MB at k=20) — enough to blow the axon remote-compile request
+        limit together with the twiddles (see ntt.py mid_dev)."""
+        pat = jnp.asarray(ints_to_limbs_np(
+            [F.to_mont_int(v) for v in (1, z, z * z % F.p)]))
+        reps = -(-length // 3)
+        return jnp.tile(pat, (1, reps))[:, :length]
+
     @functools.cached_property
     def _t_inv_full(self):
         """t_evaluations^{-1} tiled to extended_n (period 2^(ext_k-k))."""
@@ -161,16 +171,20 @@ class EvaluationDomain:
 
     @functools.cached_property
     def _coeff_to_extended_jit(self):
-        def run(values):
-            shifted = F.mul(values, self._zeta_pattern_n)
+        def run(values, mid):
+            shifted = F.mul(values, self._zeta_tile_traced(self.g_coset,
+                                                           self.n))
             padded = jnp.zeros((N_LIMBS, self.extended_n), jnp.uint32)
             padded = padded.at[:, : self.n].set(shifted)
-            return self.ntt_ext.forward_traced(padded)
-        return jax.jit(run)
+            return self.ntt_ext.forward_traced(padded, mid=mid)
+        jitted = jax.jit(run)
+        # mid twiddles as an ARGUMENT: O(n) HLO constants blow the axon
+        # remote-compile request limit at k=20 (see NTT.mid_dev)
+        return lambda values: jitted(values, self.ntt_ext.mid_dev(False))
 
     def coeff_to_extended_traced(self, values):
         """Traceable body for composition inside larger jitted programs."""
-        shifted = F.mul(values, self._zeta_pattern_n)
+        shifted = F.mul(values, self._zeta_tile_traced(self.g_coset, self.n))
         padded = jnp.zeros((N_LIMBS, self.extended_n), jnp.uint32)
         padded = padded.at[:, : self.n].set(shifted)
         return self.ntt_ext.forward_traced(padded)
@@ -185,15 +199,33 @@ class EvaluationDomain:
     def _extended_to_coeff_jit(self):
         tail = self.n * self.quotient_poly_degree
 
-        def run(values):
-            coeffs = self.ntt_ext.inverse_traced(values)
-            out = F.mul(coeffs[:, :tail], self._zeta_inv_pattern[:, :tail])
+        def run(values, mid):
+            coeffs = self.ntt_ext.inverse_traced(values, mid=mid)
+            out = F.mul(coeffs[:, :tail],
+                        self._zeta_tile_traced(self.g_coset_inv, tail))
             return out
-        return jax.jit(run)
+        jitted = jax.jit(run)
+        return lambda values: jitted(values, self.ntt_ext.mid_dev(True))
 
     def divide_by_vanishing_poly(self, p: Polynomial) -> Polynomial:
         assert p.basis == "extended"
-        return Polynomial(F.mul(p.values, self._t_inv_full), "extended")
+        return Polynomial(self._divide_by_vanishing_jit(p.values), "extended")
+
+    @functools.cached_property
+    def _divide_by_vanishing_jit(self):
+        # t_evaluations^{-1} is periodic with period 2^(ext_k - k): tile the
+        # SMALL table in-trace — the full (16, ext_n) host tile cost a
+        # 134 MB host->device transfer per call at k=20 (axon tunnel:
+        # ~190 s) when used as an eager operand
+        period = len(self.t_evaluations_inv)
+        small = ints_to_limbs_np(
+            [F.to_mont_int(v) for v in self.t_evaluations_inv])
+
+        def run(values):
+            tile = jnp.tile(jnp.asarray(small),
+                            (1, self.extended_n // period))
+            return F.mul(values, tile)
+        return jax.jit(run)
 
     def rotate_extended(self, values, rotation: int):
         """Roll extended-domain values by rotation over the ORIGINAL domain
