@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.plonk.circuit import Column, Selector
+from halo2_tpu.plonk.error import NotEnoughColumnsForConstants
 
 P = Fr.p
 
@@ -230,7 +231,7 @@ class SingleChipLayouter:
 
     def constrain_constant(self, cell: Cell, constant: int):
         if not self.constants:
-            raise ValueError("no constants column configured (enable_constant)")
+            raise NotEnoughColumnsForConstants()
         col = self.constants[0]
         row = self._constants_used
         self._constants_used += 1
@@ -275,10 +276,6 @@ class FlatFloorPlanner:
 # placed into the leftover holes of the constants columns
 # (v1.rs:98-147).  Pass 2 replays synthesis with the planned region starts.
 # ---------------------------------------------------------------------------
-
-class NotEnoughColumnsForConstants(ValueError):
-    pass
-
 
 class _RegionShape:
     __slots__ = ("index", "columns", "row_count")
@@ -460,7 +457,7 @@ class _V1AssignLayouter(SingleChipLayouter):
 
     def constrain_constant(self, cell: Cell, constant: int):
         if not self.constants:
-            raise ValueError("no constants column configured (enable_constant)")
+            raise NotEnoughColumnsForConstants()
         self.deferred_constants.append((constant, cell))
 
 

@@ -32,6 +32,8 @@ from dataclasses import dataclass, field
 from halo2_tpu.circuit import Assignment, Cell, SimpleFloorPlanner
 from halo2_tpu.fields.bn254 import Fr
 from halo2_tpu.plonk.circuit import ConstraintSystem
+from halo2_tpu.plonk.error import (InvalidInstancesError,
+                                   NotEnoughRowsAvailable)
 
 P = Fr.p
 
@@ -240,11 +242,11 @@ class MockProver:
         cs.chunk_shuffles()
         n = 1 << k
         if n < cs.minimum_rows():
-            raise ValueError(f"k={k} too small")
+            raise NotEnoughRowsAvailable(k)
         usable = cs.usable_rows(n)
         inst_cols = [list(c) + [0] * (n - len(c)) for c in instances]
         if len(inst_cols) != cs.num_instance_columns:
-            raise ValueError("wrong number of instance columns")
+            raise InvalidInstancesError()
         assembly = _MockAssembly(cs, n, usable, inst_cols)
         planner = floor_planner or SimpleFloorPlanner
         planner.synthesize(assembly, circuit, config, cs.constants)

@@ -36,6 +36,7 @@ from halo2_tpu.plonk.circuit import Column, ConstraintSystem
 from halo2_tpu.plonk.evaluator import Evaluator
 from halo2_tpu.poly.domain import EvaluationDomain
 from halo2_tpu.transcript.blake2b import point_to_bytes
+from halo2_tpu.plonk.error import NotEnoughRowsAvailable
 
 P = Fr.p
 
@@ -53,22 +54,22 @@ class KeygenAssembly(Assignment):
 
     def enable_selector(self, selector, row):
         if row >= self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         self.selectors[selector.index][row] = True
 
     def assign_advice(self, column, row, value):
         if row >= self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         # advice ignored during keygen
 
     def assign_advice_bulk(self, column, from_row, values):
         if from_row + len(values) > self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         # advice ignored during keygen
 
     def assign_fixed(self, column, row, value):
         if row >= self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         if value is not None:
             self.fixed[column.index][row] = value % P
 
@@ -77,7 +78,7 @@ class KeygenAssembly(Assignment):
 
     def query_instance(self, column, row):
         if row >= self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         return None  # instance values unknown at keygen
 
     def fill_from_row(self, column, from_row, value):
@@ -225,7 +226,7 @@ def keygen(params, circuit, floor_planner=None):
     k = params.k
     n = params.n
     if n < cs.minimum_rows():
-        raise ValueError(f"k={k} too small for this circuit")
+        raise NotEnoughRowsAvailable(k)
     domain = EvaluationDomain(degree, k)
     usable_rows = cs.usable_rows(n)
 

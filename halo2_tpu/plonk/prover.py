@@ -42,6 +42,7 @@ from halo2_tpu.plonk.vanishing import VanishingProver
 from halo2_tpu.poly.arith import eval_poly, eval_poly_batch
 from halo2_tpu.transcript import Blake2bWrite
 from halo2_tpu.utils.profiling import phase_marker
+from halo2_tpu.plonk.error import (InstanceTooLarge, InvalidInstancesError, NotEnoughRowsAvailable, SynthesisError)
 
 P = Fr.p
 
@@ -82,9 +83,9 @@ class WitnessCollection(Assignment):
 
     def assign_advice(self, column, row, value):
         if row >= self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         if value is None:
-            raise ValueError("advice value not assigned (synthesis)")
+            raise SynthesisError("advice value not assigned (synthesis)")
         v = int(value) % P
         ci = column.index
         col = self.advice[ci]
@@ -111,7 +112,7 @@ class WitnessCollection(Assignment):
         one max, no per-cell Python dispatch."""
         count = len(values)
         if from_row + count > self.usable_rows:
-            raise ValueError("not enough rows available")
+            raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         ci = column.index
         col = self.advice[ci]
         arr = None
@@ -196,10 +197,10 @@ def synthesize_witness(pk, circuit, instances, floor_planner=None):
     instance_cols = []
     for col in instances:
         if len(col) > usable_rows:
-            raise ValueError("instance too large")
+            raise InstanceTooLarge()
         instance_cols.append(list(col) + [0] * (n - len(col)))
     if len(instance_cols) != cs.num_instance_columns:
-        raise ValueError("wrong number of instance columns")
+        raise InvalidInstancesError()
     witness = WitnessCollection(cs, n, usable_rows, instance_cols)
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(witness, circuit, witness_config(pk, circuit),
@@ -270,10 +271,10 @@ def create_proof_multi(params, pk, circuits, instances_list,
         cols = []
         for col in instances:
             if len(col) > usable_rows:
-                raise ValueError("instance too large")
+                raise InstanceTooLarge()
             cols.append(list(col) + [0] * (n - len(col)))
         if len(cols) != cs.num_instance_columns:
-            raise ValueError("wrong number of instance columns")
+            raise InvalidInstancesError()
         instance_cols_list.append(cols)
         lag = (jnp.stack([jnp.asarray(Fr.encode(c)) for c in cols], axis=1)
                if cols else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from halo2_tpu.plonk.error import NotEnoughRowsForRangeCheck
+
 
 @dataclass
 class RangeCheckRel:
@@ -50,7 +52,7 @@ def fill_and_sort(advice_cols, rel: RangeCheckRel, usable_rows: int,
         origin[offset] = value
         offset -= 1
     if max_assigned > offset:
-        raise ValueError("range-check fill overlaps assigned cells "
+        raise NotEnoughRowsForRangeCheck("range-check fill overlaps assigned cells "
                          f"(assigned up to {max_assigned}, fill starts {offset + 1})")
 
     # counting sort of origin[0..usable) into sort[0..usable)
