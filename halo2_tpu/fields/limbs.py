@@ -360,6 +360,48 @@ class Field:
     def encode_scalar(self, x: int) -> np.ndarray:
         return int_to_limbs_np(self.to_mont_int(x % self.p))
 
+    def encode_le_bytes_dev(self, blob: bytes, n: int):
+        """n canonical 32-byte little-endian values (< p) -> (16, n)
+        Montgomery limbs, converted ON DEVICE (upload 32 B/value instead
+        of 64; one Montgomery mul by R^2)."""
+        import jax
+        import jax.numpy as jnp
+        words = np.frombuffer(blob, dtype="<u4").reshape(n, 8)
+
+        @jax.jit
+        def convert(w):
+            limbs = []
+            for j in range(8):
+                limbs.append(w[:, j] & MASK)
+                limbs.append(w[:, j] >> LIMB_BITS)
+            x = jnp.stack(limbs, axis=0)            # (16, n) standard form
+            r2 = jnp.asarray(self.r2_np).reshape(N_LIMBS, 1)
+            return self.raw.mul(x, jnp.broadcast_to(r2, x.shape))
+        return convert(jnp.asarray(words))
+
+    def encode_u64_dev(self, cols: "np.ndarray"):
+        """(C, n) uint64 canonical values -> (16, C, n) Montgomery limbs,
+        with the canonical->Montgomery conversion ON DEVICE.
+
+        Uploads 8 bytes/value instead of 64 (the 16 u32 limb planes): at
+        k=20 through the axon tunnel that is the difference between ~1 s
+        and ~10 s per proof of advice staging.  Conversion = limb split +
+        one Montgomery mul by R^2 (exact)."""
+        import jax
+        import jax.numpy as jnp
+        halves = np.ascontiguousarray(cols).view(np.uint32).reshape(
+            cols.shape[0], cols.shape[1], 2)        # little-endian u32 pairs
+
+        @jax.jit
+        def convert(h):
+            lo, hi = h[:, :, 0], h[:, :, 1]         # (C, n) u32 each
+            limbs = [lo & MASK, lo >> LIMB_BITS, hi & MASK, hi >> LIMB_BITS]
+            limbs += [jnp.zeros_like(lo)] * (N_LIMBS - 4)
+            x = jnp.stack(limbs, axis=0)            # (16, C, n) standard form
+            r2 = jnp.asarray(self.r2_np).reshape(N_LIMBS, 1, 1)
+            return self.raw.mul(x, jnp.broadcast_to(r2, x.shape))
+        return convert(jnp.asarray(halves))
+
     def decode(self, limbs) -> list:
         """(16, N) Montgomery limbs -> list of canonical Python ints."""
         arr = np.asarray(limbs)

@@ -338,29 +338,36 @@ def _abel_window_totals(e_pts, nb: int):
     return g1.add(acc, g1.neg(s_sum))
 
 
-def _bucket_ends(d, nb: int, chunk: int = 1 << 16):
+def _bucket_ends(d, nb: int):
     """ends[g, b] = (# of digits <= b) - 1 — the bucket-boundary positions
     in the sorted order (-1 when the prefix is empty).
 
-    Histogram on the MXU: split each digit into hi (d >> 6) and lo (d & 63)
-    one-hot bf16 factors; counts[g, hi, lo] = sum_i A[g,i,hi] * B[g,i,lo]
-    is a batched matmul (exact: 0/1 values, f32 accumulation, n < 2^24).
-    Replaces searchsorted-on-sorted (~10 ms at 2^16/W=20 vs ~0.5 ms) and
-    depends only on the UNSORTED digits, so XLA overlaps it with the
-    point gather/scan.  n is chunked to bound the one-hot materialization
-    (~170 MB per 2^16 chunk at W=20)."""
+    Histogram on the MXU: split each digit into hi/lo one-hot bf16
+    factors (balanced bit split); counts[g, hi, lo] = sum_i A[g,i,hi] *
+    B[g,i,lo] is a batched matmul (exact: 0/1 values, f32 accumulation,
+    n < 2^24).  Replaces searchsorted-on-sorted (~10 ms at 2^16/W=20 vs
+    ~0.5 ms) and depends only on the UNSORTED digits, so XLA overlaps it
+    with the point gather/scan.  n is chunked to bound the one-hot
+    materialization to ~256 MB."""
     G, n = d.shape
-    n_hi = ((nb - 1) >> 6) + 1
+    bits = max((nb - 1).bit_length(), 2)
+    lo_bits = (bits + 1) // 2
+    n_lo = 1 << lo_bits
+    n_hi = ((nb - 1) >> lo_bits) + 1
+    chunk = max(1024, min(1 << 16,
+                          (1 << 27) // max(G * (n_hi + n_lo), 1)))
     hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
-    lo_iota = jnp.arange(64, dtype=jnp.int32)
-    counts = jnp.zeros((G, n_hi, 64), jnp.float32)
+    lo_iota = jnp.arange(n_lo, dtype=jnp.int32)
+    counts = jnp.zeros((G, n_hi, n_lo), jnp.float32)
     for c0 in range(0, n, chunk):
         dc = d[:, c0:c0 + chunk]
-        a = ((dc[:, :, None] >> 6) == hi_iota[None, None, :]).astype(jnp.bfloat16)
-        b = ((dc[:, :, None] & 63) == lo_iota[None, None, :]).astype(jnp.bfloat16)
+        a = ((dc[:, :, None] >> lo_bits)
+             == hi_iota[None, None, :]).astype(jnp.bfloat16)
+        b = ((dc[:, :, None] & (n_lo - 1))
+             == lo_iota[None, None, :]).astype(jnp.bfloat16)
         counts = counts + jnp.einsum(
             "gnh,gnl->ghl", a, b, preferred_element_type=jnp.float32)
-    counts = counts.astype(jnp.int32).reshape(G, n_hi * 64)[:, :nb]
+    counts = counts.astype(jnp.int32).reshape(G, n_hi * n_lo)[:, :nb]
     return jnp.cumsum(counts, axis=1) - 1
 
 

@@ -77,6 +77,19 @@ def encode_mont_np(values, field):
     return np.frombuffer(out, dtype=np.uint32).reshape(16, n).copy()
 
 
+def encode_mont_blob(blob: bytes, field):
+    """N canonical 32-byte little-endian values (concatenated) -> (16, N)
+    uint32 Montgomery limbs; None if the native encoder is unavailable.
+    Zero Python-per-value work — the bulk path for host-RNG byte streams
+    (vanishing random poly)."""
+    if _native is None:
+        return None
+    import numpy as np
+    n = len(blob) // 32
+    out = _native.encode_mont(blob, _consts(field))
+    return np.frombuffer(out, dtype=np.uint32).reshape(16, n).copy()
+
+
 def decode_mont_np(limbs, field):
     """(16, N) uint32 Montgomery limbs -> list of canonical ints."""
     if _native is None:

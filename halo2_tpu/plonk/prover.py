@@ -313,10 +313,24 @@ def create_proof_multi(params, pk, circuits, instances_list,
                     col[r] = rng.randrange(1 << 16)
                 witness.max_value[ci] = max(witness.max_value[ci],
                                             (1 << 16) - 1)
-            advice_lagrange = (
-                jnp.stack([jnp.asarray(Fr.encode(c)) for c in witness.advice],
-                          axis=1)
-                if witness.advice else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
+            # columnar staging: u64 columns upload RAW (8 B/value, 8x less
+            # axon-tunnel traffic than limb planes), degraded bigint
+            # columns upload 32-byte canonical rows (2x less); both convert
+            # canonical->Montgomery ON DEVICE (one mul by R^2)
+            def col_to_dev(c):
+                if isinstance(c, np.ndarray):
+                    return Fr.encode_u64_dev(c[None])[:, 0, :]
+                blob = b"".join(int(v).to_bytes(32, "little") for v in c)
+                return Fr.encode_le_bytes_dev(blob, n)
+
+            if witness.advice and all(isinstance(c, np.ndarray)
+                                      for c in witness.advice):
+                advice_lagrange = Fr.encode_u64_dev(np.stack(witness.advice))
+            elif witness.advice:
+                advice_lagrange = jnp.stack(
+                    [col_to_dev(c) for c in witness.advice], axis=1)
+            else:
+                advice_lagrange = jnp.zeros((N_LIMBS, 0, n), jnp.uint32)
             # bounded-window commit bound from the running max (no O(n)
             # host bit-length pass; prover.rs:237-254)
             col_bits = [max(witness.max_value[i].bit_length(), 1)

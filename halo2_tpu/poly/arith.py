@@ -74,18 +74,47 @@ def prefix_sum(a):
     return out[:, :n]
 
 
+@functools.lru_cache(maxsize=None)
+def _powers_dev_jit(n: int):
+    """Device powers-table builder: log2(n) doubling rounds
+    (tab_{2m} = [tab_m, tab_m * z^m]), total n Montgomery muls on device.
+    The host path costs ~n Python bigint muls + an O(n) transfer — ~2 s
+    per (z, n) pair at 2^20, and the prover needs several per proof (x,
+    x_next, x_last, 1/x...): this was most of the k=20 'evals'/'multiopen'
+    phases."""
+    def run(z):
+        tab = F.broadcast_scalar(Fr.r_np, (1,))      # [1] (Montgomery one)
+        cur = z[:, None]                             # z^m, m = 1
+        m = 1
+        while m < n:
+            step = min(m, n - m)
+            nxt = F.mul(tab[:, :step], cur)          # z^{i+m}, i < step
+            tab = jnp.concatenate([tab, nxt], axis=1)
+            cur = F.mul(cur, cur)                    # z^{2m}
+            m += step
+        return tab
+    return jax.jit(run)
+
+
 class PointPowers:
-    """Powers table 1, z, z^2, ... z^{n-1} for a host scalar z (Montgomery,
-    built host-side exactly; cached per (z, n))."""
+    """Powers table 1, z, z^2, ... z^{n-1} for a host scalar z (Montgomery;
+    cached per (z, n)).  Built on DEVICE for large n (exact: Montgomery
+    muls), host-side for small n (avoids a compile per tiny size)."""
 
     _cache: dict = {}
+    DEVICE_MIN = 1 << 12
 
     @classmethod
     def get(cls, z: int, n: int):
         key = (z % Fr.p, n)
         tab = cls._cache.get(key)
         if tab is None:
-            tab = jnp.asarray(powers_table_np(z % Fr.p, n, Fr.p, Fr.to_mont_int))
+            if n >= cls.DEVICE_MIN:
+                z_l = jnp.asarray(Fr.encode_scalar(z))
+                tab = _powers_dev_jit(n)(z_l)
+            else:
+                tab = jnp.asarray(
+                    powers_table_np(z % Fr.p, n, Fr.p, Fr.to_mont_int))
             cls._cache[key] = tab
         return tab
 
@@ -106,13 +135,17 @@ def eval_poly(coeffs, z: int) -> int:
 
 def eval_poly_batch(coeff_list, z: int) -> list:
     """Evaluate several same-length polys at z in one device call."""
+    from halo2_tpu.utils import profiling
     if not coeff_list:
         return []
     n = coeff_list[0].shape[-1]
-    stack = jnp.stack(coeff_list, axis=1)          # (16, C, n)
-    powers = PointPowers.get(z, n)
-    out = _dot(stack, powers[:, None, :])          # (16, C)
-    return Fr.decode(out)
+    with profiling.span(f"eval_batch[{len(coeff_list)}x2^{n.bit_length()-1}]"):
+        stack = jnp.stack(coeff_list, axis=1)          # (16, C, n)
+        with profiling.span("powers"):
+            powers = PointPowers.get(z, n)
+        out = _dot(stack, powers[:, None, :])          # (16, C)
+        with profiling.span("decode"):
+            return Fr.decode(out)
 
 
 @maybe_jit

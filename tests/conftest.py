@@ -14,10 +14,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # XLA CPU backend at optimization level 0 (the same trick the driver dryrun
 # uses, __graft_entry__._setup_jax_caching) — the big limb graphs compile
 # minutes at default effort and made test_e2e.py alone exceed 10 minutes.
+# The thunk runtime is disabled because its AOT-serialized CPU executables
+# SEGFAULT nondeterministically when reloaded from the persistent cache by
+# a later process (observed repeatedly on the big evaluator program; the
+# classic runtime round-trips cleanly).
 if "--xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_backend_optimization_level=0").strip()
+        + " --xla_backend_optimization_level=0"
+        + " --xla_cpu_use_thunk_runtime=false").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
