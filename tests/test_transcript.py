@@ -52,6 +52,66 @@ def test_write_read_symmetry():
     r.assert_exhausted()
 
 
+def test_known_answer_challenge_sequence():
+    """Known-answer test: the challenge values are recomputed here from
+    FIRST PRINCIPLES (an independent in-test implementation of
+    transcript.rs:15-21,79-140,196-201 — blake2b-512 personal
+    "Halo2-Transcript", prefix bytes 0/1/2, points absorbed as x||y 32-byte
+    LE canonical coords, challenge = 64-byte digest of a cloned state
+    reduced LE mod r) and pinned as hex fixtures.  Any byte-protocol drift
+    in transcript/blake2b.py trips this without relying on the module's
+    own code."""
+    import hashlib
+
+    P_PT = (1, 2)          # the generator
+    Q_PT = host.double(P_PT)
+    S1 = 0xDEADBEEF
+    S2 = host.R - 1
+
+    # --- independent reimplementation ---
+    st = hashlib.blake2b(digest_size=64, person=b"Halo2-Transcript")
+
+    def absorb_point(pt):
+        st.update(b"\x01")
+        st.update(pt[0].to_bytes(32, "little"))
+        st.update(pt[1].to_bytes(32, "little"))
+
+    def absorb_scalar(s):
+        st.update(b"\x02")
+        st.update((s % host.R).to_bytes(32, "little"))
+
+    def challenge():
+        st.update(b"\x00")
+        d = st.copy().digest()
+        return int.from_bytes(d, "little") % host.R
+
+    absorb_point(P_PT)
+    c1 = challenge()
+    absorb_scalar(S1)
+    absorb_point(Q_PT)
+    c2 = challenge()
+    absorb_scalar(S2)
+    c3 = challenge()
+
+    # --- module under test ---
+    w = Blake2bWrite()
+    w.write_point(P_PT)
+    assert w.squeeze_challenge() == c1
+    w.write_scalar(S1)
+    w.write_point(Q_PT)
+    assert w.squeeze_challenge() == c2
+    w.write_scalar(S2)
+    assert w.squeeze_challenge() == c3
+
+    # pin the actual values so BOTH implementations are locked
+    assert hex(c1) == ("0xc0ba67bd0011941b884c2942b53e055abdea83e47dfb046b"
+                       "33bb810b6760239"), hex(c1)
+    assert hex(c2) == ("0x173ec2fc24553871dcf86d8615e688d6c6aa536e5a479da6"
+                       "a1e36bcb910e3e2b"), hex(c2)
+    assert hex(c3) == ("0x5580af01babaeacf1c934514e995c1ec06bef6719bc6ef84"
+                       "80a0bffbb2e935a"), hex(c3)
+
+
 def test_challenges_differ_by_absorbed_data():
     w1, w2 = Blake2bWrite(), Blake2bWrite()
     p = host.random_point(rng)
