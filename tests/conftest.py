@@ -41,14 +41,30 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Force the zlib compressor: zstandard streaming (de)serialization of the
-# largest CPU executables (the h-evaluator, tens of MB) segfaults
-# nondeterministically in this image — observed in both
-# put_executable_and_time and get_executable_and_time across many full-
-# suite runs; single-module runs usually survive.  zlib is slower but has
-# round-tripped every entry so far.
+# XLA-CPU's executable serialize()/deserialize() SEGFAULTS
+# nondeterministically on the very largest programs (the h-evaluator
+# class) in this image — observed across many full-suite runs in both
+# put_executable_and_time and get_executable_and_time, with zstd AND
+# zlib, thunk runtime on AND off; single-module runs usually survive.
+# Mitigation: do not persist programs whose compile took longer than
+# HALO2_TPU_CACHE_MAX_COMPILE_S (the crashers are exactly the slowest
+# compiles) — those recompile each session; everything else stays cached.
 try:
     from jax._src import compilation_cache as _cc
-    _cc.zstandard = None
+
+    _MAX_PERSIST_S = float(os.environ.get("HALO2_TPU_CACHE_MAX_COMPILE_S",
+                                          "100"))
+    _orig_put = _cc.put_executable_and_time
+
+    def _gated_put(cache_key, module_name, executable, backend, compile_time):
+        if compile_time > _MAX_PERSIST_S:
+            return
+        try:
+            _orig_put(cache_key, module_name, executable, backend,
+                      compile_time)
+        except Exception:
+            pass
+
+    _cc.put_executable_and_time = _gated_put
 except Exception:
     pass
