@@ -227,11 +227,9 @@ class ParamsVerifier:
         self.g_lagrange = g_lagrange  # host points, one per instance row
 
     def commit_lagrange(self, values: list) -> object:
-        """Small host MSM over the instance Lagrange bases."""
-        acc = None
-        for base, v in zip(self.g_lagrange, values):
-            acc = host.add(acc, host.mul(base, v))
-        return acc
+        """Small host MSM over the instance Lagrange bases (Jacobian
+        Pippenger — no per-op modular inversions)."""
+        return host.msm_jacobian(self.g_lagrange[:len(values)], list(values))
 
 
 def _batch_inv_host(xs, p):
