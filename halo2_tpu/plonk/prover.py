@@ -418,6 +418,12 @@ def create_proof_multi(params, pk, circuits, instances_list,
     y = transcript.squeeze_challenge()
 
     _pm("vanishing commit")
+    # every Lagrange-basis commitment is done — at k>=22 the Lagrange SRS
+    # (1 GiB) can leave HBM before the extended-domain phases
+    # (HALO2_TPU_OFFLOAD_SRS=1; restored lazily on the next proof)
+    import os as _os
+    if _os.environ.get("HALO2_TPU_OFFLOAD_SRS") == "1":
+        params.offload_lagrange()
     # 7. coeff forms (per proof)
     def inv_or_empty(arr, count):
         return domain.ntt.inverse(arr) if count else arr
@@ -440,6 +446,13 @@ def create_proof_multi(params, pk, circuits, instances_list,
         return (jnp.stack(lst, axis=1) if lst
                 else jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
+    # Lagrange forms are dead from here on (expression contexts were only
+    # needed through the z-commit phase): release their HBM before the
+    # extended-domain work — 0.5 GiB+ at k=22
+    lag_ctxs = None
+    advice_lagranges = None
+    instance_lagranges = None
+
     _pm("iNTTs")
     # 8. h evaluation — fold chains across proofs (evaluation.rs:900-1000);
     # sharded over the mesh when params.use_mesh is set
@@ -459,6 +472,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
     _pm("evaluate_h")
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
+    h_ext = None          # free the (16, ext_n) h values (512 MiB at k=22)
     for com in h_commitments:
         transcript.write_point(com)
     x = transcript.squeeze_challenge()

@@ -181,8 +181,24 @@ class Params:
     def commit_lagrange(self, values, max_bits: int = 256):
         """Commit to Lagrange-form values; max_bits enables the
         bounded-window fast path (commitment.rs:199-222)."""
-        return self._msm((self.g_lagrange[0], self.g_lagrange[1]), values,
-                         max_bits=max_bits)
+        gl = self._lagrange_dev()
+        return self._msm((gl[0], gl[1]), values, max_bits=max_bits)
+
+    # -- HBM relief for k>=22 single-chip (plonk.rs:226-243 analogue) ----
+    def offload_lagrange(self):
+        """Move the Lagrange SRS to host RAM (frees 128 B/point of HBM —
+        1 GiB at k=22).  The prover calls this once its last
+        Lagrange-basis commitment is done (HALO2_TPU_OFFLOAD_SRS=1); the
+        next commit_lagrange restores it transparently."""
+        import numpy as _np
+        if not isinstance(self.g_lagrange, _np.ndarray):
+            self.g_lagrange = _np.asarray(self.g_lagrange)
+
+    def _lagrange_dev(self):
+        import numpy as _np
+        if isinstance(self.g_lagrange, _np.ndarray):
+            self.g_lagrange = jnp.asarray(self.g_lagrange)
+        return self.g_lagrange
 
     def verifier(self, public_inputs_size: int) -> "ParamsVerifier":
         gl_host = g1.decode_points(self.g_lagrange[:, :, :max(public_inputs_size, 1)])
