@@ -107,9 +107,16 @@ def main():
     proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=0)
     print(f"prove (compile+first): {time.time()-t0:.1f}s "
           f"({len(proof)} bytes)", flush=True)
+    t0 = time.time()
+    ok = verify_proof(params.verifier(1), vk, [], proof)
+    print(f"verify (first proof): {time.time()-t0:.1f}s valid={ok}",
+          flush=True)
+    assert ok
     from halo2_tpu.utils import profiling
     if os.environ.get("HALO2_TPU_PROFILE") == "1":
         profiling.reset()
+    import gc
+    gc.collect()          # drop proof-1 device buffers before re-proving
     t0 = time.time()
     proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=1)
     dt = time.time() - t0

@@ -157,6 +157,35 @@ def _kate_core(p, powb, powb_inv_shift):
     return F.mul(suffix, powb_inv_shift)      # q_i = s_i * b^{-(i+1)}
 
 
+_KATE_CHUNK_MIN = 1 << 20
+
+
+@maybe_jit(static_argnums=(3,))
+def _kate_core_chunked(p, powb, powb_inv_shift, m: int = 1 << 18):
+    """Memory-lean kate core for large n: the flat formulation's full-width
+    carry-propagation temps (u32[32, n] each) stack to many GiB at n=2^22
+    (the k=22 OOM site); here the suffix sum runs as a right-to-left
+    lax.scan over m-column blocks carrying the running block total —
+    per-step temps are ~32 MiB at the default m."""
+    n = p.shape[1]
+    nb = n // m
+    num = F.mul(p, powb)
+    blocks = jnp.moveaxis(num.reshape(N_LIMBS, nb, m), 1, 0)  # (nb, 16, m)
+    blocks = blocks[::-1]                     # rightmost block first
+
+    def step(carry, blk):
+        pref = prefix_sum(blk)                # inclusive within block
+        total = pref[:, -1:]
+        suffix_in = F.sub(total, pref)        # excl-self suffix in block
+        out = F.add(suffix_in, carry)
+        return F.add(carry, total), out
+
+    zero = jnp.zeros((N_LIMBS, 1), U32)
+    _, outs = jax.lax.scan(step, zero, blocks)
+    suffix = jnp.moveaxis(outs[::-1], 0, 1).reshape(N_LIMBS, n)
+    return F.mul(suffix, powb_inv_shift)
+
+
 def kate_division(p, b: int):
     """(p(X) - p(b)) / (X - b) for (16, n) Montgomery coeffs, host scalar b.
 
@@ -172,4 +201,6 @@ def kate_division(p, b: int):
     powb_inv = PointPowers.get(binv, n)
     shift = jnp.asarray(ints_to_limbs_np([Fr.to_mont_int(binv)]))
     powb_inv_shift = Fr.mul(powb_inv, shift)
+    if n >= _KATE_CHUNK_MIN and n % (1 << 18) == 0:
+        return _kate_core_chunked(p, powb, powb_inv_shift)
     return _kate_core(p, powb, powb_inv_shift)

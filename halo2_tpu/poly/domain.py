@@ -204,7 +204,9 @@ class EvaluationDomain:
             out = F.mul(coeffs[:, :tail],
                         self._zeta_tile_traced(self.g_coset_inv, tail))
             return out
-        jitted = jax.jit(run)
+        # donate the extended values: the caller's copy dies here and the
+        # 512 MiB (k=22) buffer feeds the transform in place
+        jitted = jax.jit(run, donate_argnums=(0,))
         return lambda values: jitted(values, self.ntt_ext.mid_dev(True))
 
     def divide_by_vanishing_poly(self, p: Polynomial) -> Polynomial:
@@ -225,7 +227,7 @@ class EvaluationDomain:
             tile = jnp.tile(jnp.asarray(small),
                             (1, self.extended_n // period))
             return F.mul(values, tile)
-        return jax.jit(run)
+        return jax.jit(run, donate_argnums=(0,))
 
     def rotate_extended(self, values, rotation: int):
         """Roll extended-domain values by rotation over the ORIGINAL domain
