@@ -354,9 +354,8 @@ def _bucket_ends(d, nb: int):
     lo_bits = (bits + 1) // 2
     n_lo = 1 << lo_bits
     n_hi = ((nb - 1) >> lo_bits) + 1
-    budget = (1 << 28) // max(G * (n_hi + n_lo), 1)
+    budget = max((1 << 28) // max(G * (n_hi + n_lo), 1), 1024)
     chunk = 1 << min(budget, 1 << 16).bit_length() - 1   # pow2: no ragged tail
-    chunk = max(chunk, 1024)
     hi_iota = jnp.arange(n_hi, dtype=jnp.int32)
     lo_iota = jnp.arange(n_lo, dtype=jnp.int32)
     counts = jnp.zeros((G, n_hi, n_lo), jnp.float32)

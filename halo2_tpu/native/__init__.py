@@ -59,7 +59,13 @@ def encode_mont_np(values, field):
     blob = None
     arr = None
     if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
-        arr = values.astype(np.uint64, copy=False)
+        # a signed array with negatives must not wrap through astype
+        # (uint64(-1) != -1 mod p) — send it to the exact bigint path
+        if values.dtype.kind == "i" and n and int(values.min()) < 0:
+            values = [int(v) for v in values]
+            arr = None
+        else:
+            arr = values.astype(np.uint64, copy=False)
     else:
         try:
             # machine-int fast path: raises OverflowError when any value

@@ -117,8 +117,14 @@ class WitnessCollection(Assignment):
         col = self.advice[ci]
         arr = None
         if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
-            arr = values.astype(np.uint64, copy=False)
-        else:
+            # signed arrays containing negatives must NOT wrap via astype
+            # (uint64(-1) != -1 mod p) — route them to the exact bigint path
+            if values.dtype.kind == "i" and count and int(values.min()) < 0:
+                arr = None
+                values = [int(v) % P for v in values]
+            else:
+                arr = values.astype(np.uint64, copy=False)
+        if arr is None:
             try:
                 arr = np.asarray(values, dtype=np.uint64)
             except (OverflowError, TypeError, ValueError):

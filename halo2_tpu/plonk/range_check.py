@@ -26,7 +26,11 @@ class RangeCheckRel:
 
     def __post_init__(self):
         assert self.step != 0
-        assert self.min <= self.max
+        # the reference's bounds are u32 (range_check.rs:13-15) — negative
+        # or >32-bit ranges are unrepresentable there, and signed values
+        # would break the prover's uint64 column fast path here
+        assert 0 <= self.min <= self.max <= 0xFFFFFFFF, \
+            "range-check bounds must be u32 (range_check.rs:13-15)"
 
     def values(self):
         """The fill sequence: min, min+step, ..., max (clamped to max)."""

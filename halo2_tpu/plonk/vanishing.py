@@ -38,20 +38,29 @@ class VanishingProver:
 
     @staticmethod
     def _random_coeffs(rng, n: int):
-        """(16, n) Montgomery limbs of n uniform 253-bit blinding coeffs.
+        """(16, n) Montgomery limbs of n uniform-mod-p blinding coeffs.
 
-        ONE rng.randbytes call masked to 253 bits (always < p, no
-        rejection) encoded straight from the byte blob — the per-coeff
-        rng.randrange(P) + bigint encode loop cost ~3 s of the k=20
-        'vanishing commit' phase.  253-bit uniform retains blinding-grade
-        entropy (the reference's product-of-randoms construction is an
-        entropy-hygiene detail, vanishing/prover.rs:41-68)."""
+        Per coefficient: 64 random bytes, split as lo||hi and each half
+        masked to 253 bits (< p, so the device encoder's precondition
+        holds), combined ON DEVICE as lo + hi*2^253 mod p.  The sum is
+        uniform over [0, 2^506) before reduction, so the mod-p bias is
+        O(2^-253) — matching the reference's uniform sampling
+        (vanishing/prover.rs:41-68) rather than the earlier [0, 2^253)
+        truncation that left ~1/3 of Fr unreachable.  Cost: one
+        rng.randbytes call, one device mul+add — no host bigint loop."""
         import numpy as np
-        arr = np.frombuffer(rng.randbytes(n * 32), dtype=np.uint8)
-        arr = arr.reshape(n, 32).copy()
-        arr[:, 31] &= 0x1F                     # 253-bit values: < p always
-        # canonical->Montgomery ON DEVICE: 32 B/value upload, no host CIOS
-        return Fr.encode_le_bytes_dev(arr.tobytes(), n)
+        arr = np.frombuffer(rng.randbytes(n * 64), dtype=np.uint8)
+        arr = arr.reshape(2 * n, 32).copy()    # [lo_0..lo_{n-1}, hi_0..]
+        arr[:, 31] &= 0x1F                     # 253-bit halves: < p always
+        both = Fr.encode_le_bytes_dev(arr.tobytes(), 2 * n)
+        lo, hi = both[:, :n], both[:, n:]
+        shift = jnp.asarray(Fr.encode_scalar(pow(2, 253, P)))
+
+        @maybe_jit
+        def combine(lo, hi, shift):
+            return F.add(lo, F.mul(hi, shift[:, None]))
+
+        return combine(lo, hi, shift)
 
     def construct(self, h_ext):
         """h numerator on extended coset -> (pieces (16, qd, n), commitments)."""
