@@ -226,6 +226,61 @@ class NTT:
         /root/reference/halo2_proofs/src/poly/domain.rs:124-131)."""
         return self._fwd_jit(a, self._tables_dev(True))
 
+    def inverse_streamed_nodiv(self, a, chunks_log: int = 3):
+        """Inverse transform WITHOUT the 1/n divisor, as a host-orchestrated
+        sequence of chunked programs — the large-domain memory-relief path
+        (the analogue of the reference's transient-buffer extended-FFT
+        discipline, evaluation_gpu.rs:863-911): instead of one program
+        whose working set is several n-sized temporaries, the four-step
+        structure is cut into 2^chunks_log lane-chunks per half:
+
+          phase 1 (per chunk of i1 lanes): inner n2-point NTT + mid
+            twiddle + transpose, written into a donated (16, n1, n2)
+            buffer — in place;
+          phase 2 (per chunk of k2 lanes): outer n1-point NTT in place.
+
+        Peak live HBM = input + output + mid table + one chunk's
+        temporaries, vs ~4-6 n-sized buffers for the monolithic program.
+        Bit-identical to inverse_nodiv (same butterflies, same twiddles,
+        same order).  a: (16, n) on device; returns (16, n) natural order.
+        """
+        n, n1, n2 = self.n, self.n1, self.n2
+        assert a.shape == (N_LIMBS, n)
+        tb = self._tables_np(True)
+        mid = self.mid_dev(True)                       # (16, n2, n1) device
+        w1 = max(n1 >> chunks_log, 1)
+        w2 = max(n2 >> chunks_log, 1)
+        small_ntt = self._small_ntt
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("w",))
+        def step_inner(x, out, mid, c0, *, w):
+            chunk = jax.lax.dynamic_slice(x, (0, 0, c0), (N_LIMBS, n2, w))
+            midc = jax.lax.dynamic_slice(mid, (0, 0, c0), (N_LIMBS, n2, w))
+            y = small_ntt(chunk.reshape(N_LIMBS, 1, n2, w),
+                          tb["inner"], tb["rev2"])
+            y = F.mul(y.reshape(N_LIMBS, n2, w), midc)
+            y = jnp.swapaxes(y, 1, 2)                  # (16, w, n2)
+            return jax.lax.dynamic_update_slice(out, y, (0, c0, 0))
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("w",))
+        def step_outer(out, c0, *, w):
+            chunk = jax.lax.dynamic_slice(out, (0, 0, c0), (N_LIMBS, n1, w))
+            y = small_ntt(chunk.reshape(N_LIMBS, 1, n1, w),
+                          tb["outer"], tb["rev1"])
+            return jax.lax.dynamic_update_slice(
+                out, y.reshape(N_LIMBS, n1, w), (0, 0, c0))
+
+        x = a.reshape(N_LIMBS, n2, n1)
+        out = jnp.zeros((N_LIMBS, n1, n2), jnp.uint32)
+        for c0 in range(0, n1, w1):
+            out = step_inner(x, out, mid, c0, w=w1)
+        x = None                                       # release the input
+        for c0 in range(0, n2, w2):
+            out = step_outer(out, c0, w=w2)
+        return out.reshape(N_LIMBS, n)
+
     def mid_dev(self, inverse: bool):
         """The (16, n2, n1) mid-twiddle table as a DEVICE array — the O(n)
         table that callers of the *_traced methods at large n must thread

@@ -191,9 +191,39 @@ class EvaluationDomain:
 
     def extended_to_coeff(self, p: Polynomial) -> jnp.ndarray:
         """Extended evals -> quotient coefficients, truncated to
-        n * quotient_poly_degree (domain.rs:328-350). Returns raw (16, t)."""
+        n * quotient_poly_degree (domain.rs:328-350). Returns raw (16, t).
+
+        Large domains (extended_n >= HALO2_TPU_STREAM_NTT_MIN, default
+        2^23) go through the chunked streaming inverse transform — the
+        monolithic program's working set OOMed the 16 GiB chip at k=22
+        (BASELINE.md round-3 "k=22 attempt"); the streamed path caps peak
+        HBM at input+output+mid+chunk.  CONSUMES p.values either way
+        (donated)."""
         assert p.basis == "extended"
-        return self._extended_to_coeff_jit(p.values)
+        import os
+        stream_min = int(os.environ.get("HALO2_TPU_STREAM_NTT_MIN",
+                                        str(1 << 23)))
+        values, p.values = p.values, None       # consume: the buffer dies here
+        if self.extended_n >= stream_min:
+            return self._extended_to_coeff_streamed(values)
+        return self._extended_to_coeff_jit(values)
+
+    def _extended_to_coeff_streamed(self, values) -> jnp.ndarray:
+        coeffs = self.ntt_ext.inverse_streamed_nodiv(values)
+        values = None
+        tail = self.n * self.quotient_poly_degree
+        n_inv = self.ntt_ext.n_inv
+        # fold the 1/ext_n divisor into the small zeta^{-i mod 3} pattern
+        pat = [n_inv, n_inv * self.g_coset_inv % F.p,
+               n_inv * self.g_coset_inv * self.g_coset_inv % F.p]
+        pat_np = ints_to_limbs_np([F.to_mont_int(v) for v in pat])
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fin(c):
+            tile = jnp.tile(jnp.asarray(pat_np), (1, -(-tail // 3)))[:, :tail]
+            return Fr.raw.mul(c[:, :tail], tile)
+
+        return fin(coeffs)
 
     @functools.cached_property
     def _extended_to_coeff_jit(self):

@@ -108,3 +108,14 @@ def test_l_i_range(dom):
             num = num * (x - wj) % P
             den = den * (wi - wj) % P
         assert g == num * pow(den, P - 2, P) % P
+
+
+def test_extended_to_coeff_streamed_matches(dom, monkeypatch):
+    """The streamed large-domain path (HALO2_TPU_STREAM_NTT_MIN forced to 1)
+    must produce bit-identical quotient coefficients."""
+    cs_int = [rng.randrange(P) for _ in range(dom.n)]
+    base = np.asarray(dom.coeff_to_extended(dom.coeff_from_ints(cs_int)).values)
+    direct = dom.extended_to_coeff(Polynomial(jnp.asarray(base), "extended"))
+    monkeypatch.setenv("HALO2_TPU_STREAM_NTT_MIN", "1")
+    streamed = dom.extended_to_coeff(Polynomial(jnp.asarray(base), "extended"))
+    assert np.array_equal(np.asarray(direct), np.asarray(streamed))

@@ -61,3 +61,16 @@ def test_custom_omega_coset_consistency():
     evals_half = Fr.decode(half.forward(a))
     full = naive_dft(xs + [0] * (1 << (log_n - 1)), ntt.omega)
     assert evals_half == full[::2]
+
+
+@pytest.mark.parametrize("log_n,chunks_log", [(6, 2), (10, 3), (11, 3)])
+def test_inverse_streamed_bit_identical(log_n, chunks_log):
+    """The chunked streaming inverse (large-domain memory-relief path)
+    must be BIT-identical to the monolithic transform."""
+    ntt = NTT(log_n)
+    xs = [rng.randrange(P) for _ in range(1 << log_n)]
+    a = jnp.asarray(Fr.encode(xs))
+    mono = ntt.inverse_nodiv(a)
+    streamed = ntt.inverse_streamed_nodiv(a, chunks_log=chunks_log)
+    import numpy as np
+    assert np.array_equal(np.asarray(mono), np.asarray(streamed))
