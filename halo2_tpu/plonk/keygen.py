@@ -14,8 +14,10 @@ TPU re-design of /root/reference/halo2_proofs/src/plonk/keygen.rs:
     evaluation_gpu.rs:863-911), mandatory for k>=20 HBM budgets
   * vk hash (plonk.rs:91-109): Blake2b-512, personalization
     "Halo2-Verify-Key" over the Rust Debug rendering of
-    PinnedVerificationKey (plonk/pinned.py; format-mirrored from the
-    reference source, not yet machine-diffed against Rust output)
+    PinnedVerificationKey (plonk/pinned.py; KAT-verified against an
+    independent in-test renderer derived line-by-line from the reference
+    source — tests/test_pinned_kat.py; a true Rust differential run is
+    pending a toolchain, absent from this image)
   * selector compression (circuit.rs:1603-1734) runs between synthesis and
     the fixed-column commits, exactly as keygen_vk does (keygen.rs:258-263)
 """
