@@ -104,7 +104,18 @@ def main():
     del enc
 
     t0 = time.time()
-    proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=0)
+    # the axon tunnel occasionally drops a long remote-compile request
+    # mid-body on cold multi-minute runs; one retry reuses every program
+    # compiled so far, so it resumes roughly where the drop happened
+    for attempt in range(int(os.environ.get("BENCH_PROVE_RETRIES", "2")) + 1):
+        try:
+            proof = create_proof(params, pk, MulChainCircuit(rows), [], seed=0)
+            break
+        except Exception as e:
+            if "remote_compile" not in str(e) or attempt >= 2:
+                raise
+            print(f"cold prove attempt {attempt}: tunnel error, retrying "
+                  f"({e})", flush=True)
     print(f"prove (compile+first): {time.time()-t0:.1f}s "
           f"({len(proof)} bytes)", flush=True)
     t0 = time.time()

@@ -45,7 +45,9 @@ def _resolve(value):
     v = value() if callable(value) else value
     if v is None:
         return None
-    return v % P
+    if isinstance(v, int):
+        return v % P
+    return v       # Assigned (deferred division) passes through unresolved
 
 
 class Assignment:

@@ -10,6 +10,7 @@ from halo2_tpu.plonk.circuit import (
 # NOTE: no "keygen" alias here — the submodule of the same name would
 # shadow it; use halo2_tpu.plonk.keygen.keygen.
 _LAZY = {
+    "Assigned": ("halo2_tpu.plonk.assigned", "Assigned"),
     "ProvingKey": ("halo2_tpu.plonk.keygen", "ProvingKey"),
     "VerifyingKey": ("halo2_tpu.plonk.keygen", "VerifyingKey"),
     "create_proof": ("halo2_tpu.plonk.prover", "create_proof"),

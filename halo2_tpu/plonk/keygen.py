@@ -53,6 +53,10 @@ class KeygenAssembly(Assignment):
         self.fixed = [[0] * n for _ in range(cs.num_fixed_columns)]
         self.selectors = [[False] * n for _ in range(cs.num_selectors)]
         self.perm = perm_mod.Assembly(cs.permutation.columns, n)
+        # deferred Assigned rationals: (col, row, num, den), resolved with
+        # one batch inversion before the fixed columns are consumed
+        # (keygen.rs:258 batch_invert_assigned)
+        self.deferred = []
 
     def enable_selector(self, selector, row):
         if row >= self.usable_rows:
@@ -72,8 +76,27 @@ class KeygenAssembly(Assignment):
     def assign_fixed(self, column, row, value):
         if row >= self.usable_rows:
             raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
-        if value is not None:
-            self.fixed[column.index][row] = value % P
+        if value is None:
+            return
+        from halo2_tpu.plonk.assigned import Assigned
+        if isinstance(value, Assigned):
+            if value.is_trivial() or value.is_zero():
+                self.fixed[column.index][row] = value.num if value.den else 0
+            else:
+                self.deferred.append((column.index, row,
+                                      value.num, value.den))
+            return
+        self.fixed[column.index][row] = value % P
+
+    def resolve_deferred(self):
+        """batch_invert_assigned analogue: one inversion for every deferred
+        rational fixed value (poly.rs:148-173)."""
+        from halo2_tpu.plonk.assigned import resolve_deferred
+
+        def write(ci, row, v):
+            self.fixed[ci][row] = v
+        resolve_deferred(self.deferred, write)
+        self.deferred = []
 
     def copy(self, left: Cell, right: Cell):
         self.perm.copy(left.column, left.row, right.column, right.row)
@@ -235,6 +258,7 @@ def keygen(params, circuit, floor_planner=None):
     assembly = KeygenAssembly(cs, n, usable_rows)
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(assembly, circuit.without_witnesses(), config, cs.constants)
+    assembly.resolve_deferred()   # batch_invert_assigned (keygen.rs:258)
 
     # pack selectors into combination fixed columns and substitute their
     # expressions (keygen.rs:258-263 -> circuit.rs:1603-1734)

@@ -71,6 +71,10 @@ class WitnessCollection(Assignment):
         # per column after synthesis (the bounded-window commit needs only
         # the max; prover.rs:237-254)
         self.max_value = [0] * cs.num_advice_columns
+        # deferred Assigned rationals (col, row, num, den): resolved with
+        # ONE batch inversion after synthesis (poly.rs:148-173
+        # batch_invert_assigned) — no per-cell `pow` during synthesis
+        self.deferred = []
 
     def enable_selector(self, selector, row):
         pass  # packed into fixed columns at keygen
@@ -86,6 +90,15 @@ class WitnessCollection(Assignment):
             raise NotEnoughRowsAvailable(self.n.bit_length() - 1)
         if value is None:
             raise SynthesisError("advice value not assigned (synthesis)")
+        from halo2_tpu.plonk.assigned import Assigned
+        if isinstance(value, Assigned) and not (value.is_trivial()
+                                                or value.is_zero()):
+            # deferred division: placeholder now, batch-inverted later
+            self.deferred.append((column.index, row, value.num, value.den))
+            ci = column.index
+            if row > self.max_assigned[ci]:
+                self.max_assigned[ci] = row
+            return
         v = int(value) % P
         ci = column.index
         col = self.advice[ci]
@@ -145,6 +158,21 @@ class WitnessCollection(Assignment):
             self.max_assigned[ci] = last
         if vmax > self.max_value[ci]:
             self.max_value[ci] = vmax
+
+    def resolve_deferred(self):
+        """Resolve rational cells with ONE batch inversion
+        (batch_invert_assigned, poly.rs:148-173)."""
+        from halo2_tpu.plonk.assigned import resolve_deferred
+
+        def write(ci, row, v):
+            col = self.advice[ci]
+            if isinstance(col, np.ndarray) and v >> 64:
+                col = self._degrade(ci)
+            col[row] = v
+            if v > self.max_value[ci]:
+                self.max_value[ci] = v
+        resolve_deferred(self.deferred, write)
+        self.deferred = []
 
     def is_in_prove_mode(self):
         return True
@@ -211,6 +239,7 @@ def synthesize_witness(pk, circuit, instances, floor_planner=None):
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(witness, circuit, witness_config(pk, circuit),
                        cs.constants)
+    witness.resolve_deferred()    # batch_invert_assigned (poly.rs:148-173)
     from halo2_tpu.plonk.range_check import fill_and_sort
     for rel in cs.range_check:
         fill_and_sort(witness.advice, rel, usable_rows,
@@ -303,6 +332,9 @@ def create_proof_multi(params, pk, circuits, instances_list,
             planner = floor_planner or SimpleFloorPlanner
             planner.synthesize(witness, circuits[p_i],
                                witness_config(pk, circuits[p_i]), cs.constants)
+            # batch_invert_assigned: ONE inversion for every deferred
+            # rational cell (poly.rs:148-173)
+            witness.resolve_deferred()
             # range-check fill + counting sort (prover.rs:1699-1779)
             from halo2_tpu.plonk.range_check import fill_and_sort
             for rel in cs.range_check:

@@ -49,7 +49,12 @@ class VanishingProver:
         truncation that left ~1/3 of Fr unreachable.  Cost: one
         rng.randbytes call, one device mul+add — no host bigint loop."""
         import numpy as np
-        arr = np.frombuffer(rng.randbytes(n * 64), dtype=np.uint8)
+        # chunked draw: one randbytes call of n*64 bytes overflows
+        # getrandbits' C-int bit count at n = 2^22
+        chunk = 1 << 24
+        blob = b"".join(rng.randbytes(min(chunk, n * 64 - off))
+                        for off in range(0, n * 64, chunk))
+        arr = np.frombuffer(blob, dtype=np.uint8)
         arr = arr.reshape(2 * n, 32).copy()    # [lo_0..lo_{n-1}, hi_0..]
         arr[:, 31] &= 0x1F                     # 253-bit halves: < p always
         both = Fr.encode_le_bytes_dev(arr.tobytes(), 2 * n)
