@@ -329,13 +329,197 @@ def pairing(q_g2, p_g1):
     if p_g1 is None or q_g2 is None:
         return FQ12.one()
     assert g2_is_on_curve(q_g2), "Q not on G2 twist"
-    return miller_loop(twist(q_g2), cast_g1_to_fq12(p_g1))
+    return final_exponentiation(prepare_g2(q_g2).miller_loop(p_g1))
+
+
+# ---------------------------------------------------------------------------
+# Fast verifier path: prepared lines, Frobenius maps, one final exponentiation
+#
+# The generic construction above (miller_loop + a 4566-bit generic pow) is
+# the golden model; verification latency comes from this section:
+#   * G2Prepared precomputes every Miller-loop line's (slope, intercept)
+#     for a FIXED G2 point — the verifier's two points (s_g2, -g2) never
+#     change per SRS, so all G2-side Fq12 inversions/pows leave the
+#     per-proof path entirely;
+#   * the Frobenius endomorphism is a 24-mul linear map (precomputed
+#     gamma = v^{(q-1)/6} coefficients) instead of a 254-bit pow;
+#   * one SHARED final exponentiation over the product of Miller values,
+#     with the standard BN easy-part/hard-part decomposition (3 short
+#     exponentiations by t + Frobenius maps) instead of a generic
+#     ((q^12-1)/r)-pow per pairing.
+# ---------------------------------------------------------------------------
+
+def _compute_gamma_pows():
+    """gamma^i for i in 0..11, gamma = v^{(q-1)/6} in Fq[v] ~ Fq2
+    (v = w^6 = 9 + u): the per-basis-element Frobenius factors
+    (w^i)^q = w^i * gamma^i."""
+    g = FQ2((9, 1)) ** ((Q - 1) // 6)       # in u-basis: g0 + g1*u
+    out = []
+    acc = FQ2((1, 0))
+    for _ in range(12):
+        a, b = acc.coeffs                   # a + b*u = (a - 9b) + b*v
+        out.append(((a - 9 * b) % Q, b))
+        acc = acc * g
+    return out
+
+
+_GAMMA_POWS = _compute_gamma_pows()
+
+
+def frobenius(x: FQ12) -> FQ12:
+    """x^q as a linear map: coefficients are in Fq (fixed by Frobenius),
+    so x^q = sum a_i (w^i)^q = sum a_i w^i gamma^i with gamma^i in Fq[v],
+    v = w^6 and w^12 = 18 w^6 - 82 folding the overflow terms."""
+    out = [0] * 12
+    for i in range(12):
+        a = x.coeffs[i]
+        if not a:
+            continue
+        g0, g1 = _GAMMA_POWS[i]
+        out[i] += a * g0
+        if g1:
+            j = i + 6
+            if j < 12:
+                out[j] += a * g1
+            else:
+                out[j - 12] -= 82 * a * g1
+                out[j - 6] += 18 * a * g1
+    return FQ12(tuple(out))
+
+
+def frobenius_k(x: FQ12, k: int) -> FQ12:
+    for _ in range(k):
+        x = frobenius(x)
+    return x
+
+
+def conjugate(x: FQ12) -> FQ12:
+    """x^{q^6} — the cyclotomic inverse after the easy part."""
+    return frobenius_k(x, 6)
+
+
+def _pow_t(x: FQ12) -> FQ12:
+    """x^BN_T (63-bit square-and-multiply)."""
+    return x ** BN_T
+
+
+def final_exponentiation(f: FQ12) -> FQ12:
+    """f^((q^12-1)/r) via the standard BN decomposition
+    (easy part (q^6-1)(q^2+1), then the Scott et al. hard-part addition
+    chain with three exponentiations by t); verified against the generic
+    pow in tests/test_pairing.py."""
+    # easy part
+    f = conjugate(f) * f.inv()              # f^(q^6 - 1)
+    f = frobenius_k(f, 2) * f               # ^(q^2 + 1)
+    # hard part (f is now in the cyclotomic subgroup: inverse = conjugate)
+    fu = _pow_t(f)
+    fu2 = _pow_t(fu)
+    fu3 = _pow_t(fu2)
+    fp = frobenius(f)
+    fp2 = frobenius(fp)
+    fp3 = frobenius(fp2)
+    y0 = fp * fp2 * fp3
+    y1 = conjugate(f)
+    y2 = frobenius_k(fu2, 2)
+    y3 = conjugate(frobenius(fu))
+    y4 = conjugate(fu * frobenius(fu2))
+    y5 = conjugate(fu2)
+    y6 = conjugate(fu3 * frobenius(fu3))
+    t0 = y6 * y6 * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = t1 * t1 * t0
+    t1 = t1 * t1
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = t0 * t0
+    return t0 * t1
+
+
+def _line_coeffs(p1, p2):
+    """Line through p1, p2 (E(Fq12) points) as evaluation coefficients:
+    returns (m, c, has_y) with line(t) = m*x_t + c - y_t when has_y, else
+    x_t + c (vertical) — matching linefunc's three branches."""
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 != x2:
+        m = (y2 - y1) / (x2 - x1)
+    elif y1 == y2:
+        m = (x1 * x1 * 3) / (y1 * 2)
+    else:
+        return (None, -x1, False)
+    return (m, y1 - m * x1, True)
+
+
+class G2Prepared:
+    """Miller-loop line coefficients for a fixed G2 point: every slope
+    (and its Fq12 inversion) is paid once per SRS, not per proof."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, q_g2):
+        assert g2_is_on_curve(q_g2), "Q not on G2 twist"
+        q12 = twist(q_g2)
+        steps = []                     # ("d"|"a", m, c, has_y)
+        rpt = q12
+        for b in bin(ATE_LOOP_COUNT)[2:][1:]:
+            steps.append(("d",) + _line_coeffs(rpt, rpt))
+            rpt = _fq12_double(rpt)
+            if b == "1":
+                steps.append(("a",) + _line_coeffs(rpt, q12))
+                rpt = _fq12_add(rpt, q12)
+        q1 = (frobenius(q12[0]), frobenius(q12[1]))
+        nq2 = (frobenius(q1[0]), -frobenius(q1[1]))
+        steps.append(("a",) + _line_coeffs(rpt, q1))
+        rpt = _fq12_add(rpt, q1)
+        steps.append(("a",) + _line_coeffs(rpt, nq2))
+        self.steps = steps
+
+    def miller_loop(self, p_g1) -> FQ12:
+        """Miller value (NO final exponentiation) at a G1 point: per step
+        one scalar-by-Fq12 line evaluation + one or two Fq12 mults."""
+        if p_g1 is None:
+            return FQ12.one()
+        xt, yt = p_g1[0] % Q, p_g1[1] % Q
+        f = FQ12.one()
+        for tag, m, c, has_y in self.steps:
+            if has_y:
+                cf = list((m * xt).coeffs)
+                cf[0] = (cf[0] - yt) % Q
+                line = FQ12(tuple(x + y for x, y in zip(cf, c.coeffs)))
+            else:
+                cf = list(c.coeffs)
+                cf[0] = (cf[0] + xt) % Q
+                line = FQ12(tuple(cf))
+            if tag == "d":
+                f = f * f
+            f = f * line
+        return f
+
+
+_PREPARED_CACHE: dict = {}
+
+
+def prepare_g2(q_g2) -> G2Prepared:
+    """Cached G2Prepared — the verifier's G2 points are fixed per SRS."""
+    key = (q_g2[0].coeffs, q_g2[1].coeffs)
+    prep = _PREPARED_CACHE.get(key)
+    if prep is None:
+        prep = G2Prepared(q_g2)
+        if len(_PREPARED_CACHE) < 16:
+            _PREPARED_CACHE[key] = prep
+    return prep
 
 
 def pairing_check(pairs) -> bool:
     """prod e(P_i, Q_i) == 1 — the multi-Miller-loop Decider check
-    (/root/reference/halo2_proofs/src/poly/multiopen.rs:33-55)."""
+    (/root/reference/halo2_proofs/src/poly/multiopen.rs:33-55): one shared
+    final exponentiation over the product of Miller values."""
     acc = FQ12.one()
     for p_g1, q_g2 in pairs:
-        acc = acc * pairing(q_g2, p_g1)
-    return acc == FQ12.one()
+        if p_g1 is None or q_g2 is None:
+            continue
+        acc = acc * prepare_g2(q_g2).miller_loop(p_g1)
+    if acc == FQ12.one():
+        return True
+    return final_exponentiation(acc) == FQ12.one()

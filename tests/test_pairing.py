@@ -52,3 +52,26 @@ def test_pairing_check_kzg_style():
         (lhs, pr.G2_GEN),
         (host.neg(host.G1_GEN), pr.g2_mul(pr.G2_GEN, s + 1)),
     ])
+
+
+def test_frobenius_matches_generic_pow():
+    a = pr.FQ12(tuple(range(3, 15)))
+    assert pr.frobenius(a) == a ** pr.Q
+    assert pr.frobenius_k(a, 2) == a ** (pr.Q ** 2)
+    assert pr.conjugate(a) == a ** (pr.Q ** 6)
+
+
+def test_final_exponentiation_matches_generic_pow():
+    f = pr.FQ12(tuple(range(5, 17)))
+    assert pr.final_exponentiation(f) == f ** ((pr.Q ** 12 - 1) // pr.R)
+
+
+@pytest.mark.slow
+def test_prepared_miller_matches_generic():
+    from halo2_tpu.curves import host
+    g1 = host.mul(host.G1_GEN, 777)
+    g2 = pr.g2_mul(pr.G2_GEN, 1234)
+    prep = pr.G2Prepared(g2)
+    fast = pr.final_exponentiation(prep.miller_loop(g1))
+    slow = pr.miller_loop(pr.twist(g2), pr.cast_g1_to_fq12(g1))
+    assert fast == slow
