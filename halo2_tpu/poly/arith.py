@@ -183,6 +183,14 @@ def _kate_core_chunked(p, powb, powb_inv_shift, m: int = 1 << 18):
     zero = jnp.zeros((N_LIMBS, 1), U32)
     _, outs = jax.lax.scan(step, zero, blocks)
     suffix = jnp.moveaxis(outs[::-1], 0, 1).reshape(N_LIMBS, n)
+    # MISCOMPILE GUARD (round 4): without this barrier XLA:TPU fuses the
+    # trailing mul into the scan's reversed/transposed output reassembly
+    # and, for n >= 2^21, every output index >= n/2 comes out wrong — the
+    # exact cause of "k=22 proof verifies False" (probe_k22 C).  Isolated
+    # to this fusion by bisection: mul+scan fused is fine, scan+mul fused
+    # fails, split programs are fine, and this barrier inside one program
+    # is fine (verified at 2^21 and 2^22 against the host golden model).
+    suffix = jax.lax.optimization_barrier(suffix)
     return F.mul(suffix, powb_inv_shift)
 
 
