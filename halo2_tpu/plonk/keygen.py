@@ -241,6 +241,8 @@ def _commit_columns_affine(params, cols_lagrange):
 
 def keygen(params, circuit, floor_planner=None):
     """keygen_vk + keygen_pk in one pass (keygen.rs:233-455)."""
+    from halo2_tpu.utils.profiling import phase_marker
+    _pm = phase_marker()
     cs = ConstraintSystem()
     config = circuit.configure(cs)
     # chunk lookups and shuffles by degree (circuit_configure,
@@ -255,16 +257,19 @@ def keygen(params, circuit, floor_planner=None):
     domain = EvaluationDomain(degree, k)
     usable_rows = cs.usable_rows(n)
 
+    _pm("keygen configure")
     assembly = KeygenAssembly(cs, n, usable_rows)
     planner = floor_planner or SimpleFloorPlanner
     planner.synthesize(assembly, circuit.without_witnesses(), config, cs.constants)
     assembly.resolve_deferred()   # batch_invert_assigned (keygen.rs:258)
+    _pm("keygen synthesize")
 
     # pack selectors into combination fixed columns and substitute their
     # expressions (keygen.rs:258-263 -> circuit.rs:1603-1734)
     if cs.num_selectors:
         combos = cs.compress_selectors(assembly.selectors)
         assembly.fixed.extend(combos)
+    _pm("keygen compress_selectors")
 
     # fixed polys
     if cs.num_fixed_columns:
@@ -272,11 +277,14 @@ def keygen(params, circuit, floor_planner=None):
             [jnp.asarray(Fr.encode(col)) for col in assembly.fixed], axis=1)
     else:
         fixed_lagrange = jnp.zeros((N_LIMBS, 0, n), jnp.uint32)
+    _pm("keygen fixed encode")
     fixed_coeff = domain.ntt.inverse(fixed_lagrange) \
         if cs.num_fixed_columns else fixed_lagrange
     fixed_commitments = _commit_columns_affine(params, fixed_lagrange)
+    _pm("keygen fixed commit+iNTT")
 
     perm_vk, perm_pk = perm_mod.build_keys(params, domain, assembly.perm)
+    _pm("keygen permutation build")
 
     vk = VerifyingKey(domain, cs, fixed_commitments, perm_vk, k)
 
@@ -293,6 +301,7 @@ def keygen(params, circuit, floor_planner=None):
     l0 = lag_coeff([0])
     l_last = lag_coeff([n - (bf + 1)])
     l_blind = lag_coeff(range(n - bf, n))
+    _pm("keygen l-polys")
 
     pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, perm_pk,
                     l0, l_last, l_blind, config=config)

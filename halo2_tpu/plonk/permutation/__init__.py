@@ -43,6 +43,10 @@ class Assembly:
         self.n = n
         m = len(self.columns)
         self.parent = np.arange(m * n, dtype=np.int64)
+        # cells that ever participated in a union: mapping() only needs to
+        # walk these — everything else is an identity cycle (keygen at
+        # k=22 spent tens of seconds on m*n find() calls otherwise)
+        self.touched = set()
 
     def _find(self, x: int) -> int:
         p = self.parent
@@ -62,7 +66,10 @@ class Assembly:
                 f"column {e.args[0]} not enabled for equality") from None
         if not (0 <= left_row < self.n and 0 <= right_row < self.n):
             raise ValueError("copy row out of bounds")
-        a, b = self._find(li * self.n + left_row), self._find(ri * self.n + right_row)
+        la, rb = li * self.n + left_row, ri * self.n + right_row
+        self.touched.add(la)
+        self.touched.add(rb)
+        a, b = self._find(la), self._find(rb)
         if a != b:
             self.parent[a] = b
 
@@ -70,11 +77,10 @@ class Assembly:
         """(m, n, 2) int32: mapping[i][j] = (col, row) of the NEXT cell in
         the cycle (identity for singletons)."""
         m = len(self.columns)
-        roots = {}
-        order = np.empty(m * self.n, dtype=np.int64)
-        # group cells by root, chain each group cyclically
+        # group TOUCHED cells by root, chain each group cyclically; all
+        # untouched cells are identity singletons (no find() for them)
         groups: dict[int, list[int]] = {}
-        for cell in range(m * self.n):
+        for cell in sorted(self.touched):
             groups.setdefault(self._find(cell), []).append(cell)
         nxt = np.arange(m * self.n, dtype=np.int64)
         for cells in groups.values():
@@ -114,7 +120,10 @@ def build_keys(params, domain, assembly: Assembly):
             jnp.zeros((N_LIMBS, 0, n), jnp.uint32))
 
     mapping = assembly.mapping()
-    omega_tab = jnp.asarray(powers_table_np(domain.omega, n, P, Fr.to_mont_int))
+    # omega powers built ON DEVICE by log-doubling (PointPowers) — the
+    # host bigint table cost O(n) Python muls + an O(n) upload per keygen
+    from halo2_tpu.poly.arith import PointPowers
+    omega_tab = PointPowers.get(domain.omega, n)
     delta_tab = jnp.asarray(powers_table_np(DELTA, max(m, 1), P, Fr.to_mont_int))
 
     @maybe_jit
@@ -126,11 +135,11 @@ def build_keys(params, domain, assembly: Assembly):
     sig_lag = build(omega_tab, delta_tab,
                     jnp.asarray(mapping[:, :, 0]), jnp.asarray(mapping[:, :, 1]))
 
-    commitments = []
-    for i in range(m):
-        proj = params.commit_lagrange(sig_lag[:, i, :])
-        aff = g1.to_affine(tuple(c[:, None] for c in proj))
-        commitments.append(g1.decode_points(jnp.stack(aff))[0])
+    # all m commit MSMs dispatch async; ONE batched to_affine + host decode
+    projs = [params.commit_lagrange(sig_lag[:, i, :]) for i in range(m)]
+    stacked = tuple(jnp.stack([p[i] for p in projs], axis=1)
+                    for i in range(3))
+    commitments = g1.decode_points(jnp.stack(g1.to_affine(stacked)))
 
     sig_coeff = domain.ntt.inverse(sig_lag)
     return PermutationVk(commitments), PermutationPk(sig_lag, sig_coeff)

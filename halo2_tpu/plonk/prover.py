@@ -508,6 +508,12 @@ def create_proof_multi(params, pk, circuits, instances_list,
             theta, beta, gamma, y, value_init=h_ext)
 
     _pm("evaluate_h")
+    if domain.extended_n >= (1 << 23):
+        # drain the h program before the streamed iNTT + piece MSMs start:
+        # async dispatch otherwise overlaps the evaluator's transient
+        # extended columns with the construct phase's working set and the
+        # warm k=22 re-prove OOMed (cold runs are saved by compile gaps)
+        np.asarray(h_ext[0, :1])
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
     h_ext = None          # free the (16, ext_n) h values (512 MiB at k=22)

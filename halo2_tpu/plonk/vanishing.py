@@ -77,7 +77,20 @@ class VanishingProver:
         # all piece MSMs dispatch async; ONE batched to_affine + host decode
         from halo2_tpu.curves import g1 as _g1
         import jax.numpy as _jnp
-        projs = [self.params.commit(pieces[:, i, :]) for i in range(qd)]
+        import numpy as _np
+        projs = []
+        if domain.n >= (1 << 22):
+            _np.asarray(pieces[0, 0, :1])   # retire the iNTT before MSMs
+        for i in range(qd):
+            proj = self.params.commit(pieces[:, i, :])
+            if domain.n >= (1 << 22):
+                # serialize the piece MSMs: at 2^22 each scan group's
+                # working set is multi-GiB and async dispatch of qd of
+                # them together OOMed the warm k=22 re-prove (a tiny host
+                # read forces completion; block_until_ready returns early
+                # through the axon tunnel)
+                _np.asarray(proj[0][:1])
+            projs.append(proj)
         stacked = tuple(_jnp.stack([p[i] for p in projs], axis=1)
                         for i in range(3))
         commitments = _g1.decode_points(_jnp.stack(_g1.to_affine(stacked)))

@@ -112,3 +112,27 @@ def test_vk_file_roundtrip(setup, tmp_path):
     out = expected_out(a, b)
     proof = create_proof(params, pk, SimpleCircuit(a, b), [[out]], seed=0)
     assert verify_proof(params.verifier(1), back, [[out]], proof)
+
+
+def test_witness_file_is_strided_reference_layout(tmp_path):
+    """The witness file must follow helpers.rs:919-1014's layout: u32-le
+    column count, then per-column slabs at byte stride 32*n of canonical
+    32-byte little-endian scalars."""
+    import numpy as np
+    from halo2_tpu.fields.bn254 import Fr
+    from halo2_tpu.io.serialization import save_witness
+
+    n = 8
+    big = Fr.p - 3
+    cols = [np.arange(n, dtype=np.uint64) * 7,
+            [big] * n]
+    path = str(tmp_path / "w.bin")
+    save_witness(cols, path)
+    blob = open(path, "rb").read()
+    stride = 32 * n
+    assert len(blob) == 4 + 2 * stride
+    assert int.from_bytes(blob[:4], "little") == 2
+    # column 0 row 3 = 21 as canonical 32-byte LE at offset 4 + 3*32
+    assert blob[4 + 3 * 32: 4 + 4 * 32] == (21).to_bytes(32, "little")
+    # column 1 row 0 = p-3
+    assert blob[4 + stride: 4 + stride + 32] == big.to_bytes(32, "little")
