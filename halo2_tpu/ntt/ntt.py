@@ -281,6 +281,17 @@ class NTT:
             out = step_outer(out, c0, w=w2)
         return out.reshape(N_LIMBS, n)
 
+    def drop_dev_tables(self, inverse: bool | None = None):
+        """Release cached DEVICE twiddle tables (the mid table is 64 B x n
+        — 512 MiB at ext_k 23).  Host numpy copies remain in
+        _tables_np_cache, so the next transform re-uploads lazily; callers
+        use this to reclaim HBM between a proof's extension-heavy phase
+        and its memory-peak construct phase."""
+        for key in list(self._tables_dev_cache):
+            key_inv = key[1] if isinstance(key, tuple) else key
+            if inverse is None or key_inv == inverse:
+                del self._tables_dev_cache[key]
+
     def mid_dev(self, inverse: bool):
         """The (16, n2, n1) mid-twiddle table as a DEVICE array — the O(n)
         table that callers of the *_traced methods at large n must thread

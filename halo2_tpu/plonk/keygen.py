@@ -196,6 +196,22 @@ class VerifyingKey:
 
 
 class ProvingKey:
+    def offload_lagrange_forms(self):
+        """Move the Lagrange-basis pk forms (fixed columns, sigma tables)
+        to host RAM — they are dead after the prover's z-commit phases,
+        and at k=22 the ~1 GiB they pin was part of the construct-phase
+        OOM.  Restored lazily by onload_lagrange_forms."""
+        self.fixed_lagrange = np.asarray(self.fixed_lagrange)
+        self.permutation_pk.sigmas_lagrange = np.asarray(
+            self.permutation_pk.sigmas_lagrange)
+
+    def onload_lagrange_forms(self):
+        if isinstance(self.fixed_lagrange, np.ndarray):
+            self.fixed_lagrange = jnp.asarray(self.fixed_lagrange)
+        if isinstance(self.permutation_pk.sigmas_lagrange, np.ndarray):
+            self.permutation_pk.sigmas_lagrange = jnp.asarray(
+                self.permutation_pk.sigmas_lagrange)
+
     def __init__(self, vk, fixed_lagrange, fixed_coeff, permutation_pk,
                  l0_coeff, l_last_coeff, l_blind_coeff, config=None):
         self.vk = vk
@@ -292,15 +308,31 @@ def keygen(params, circuit, floor_planner=None):
     # extended cosets are produced inside the h program)
     bf = cs.blinding_factors()
 
-    def lag_coeff(one_rows):
-        vals = [0] * n
+    def lag_coeff_closed(one_rows):
+        """Coeff form of sum of Lagrange one-hots WITHOUT an iNTT: the
+        inverse transform of a one-hot at row i is coeffs[j] =
+        omega^{-ij}/n, so each row contributes one device powers table
+        (PointPowers — the same log-doubling program the prover already
+        compiles) scaled by 1/n; the iNTT program this replaces was a
+        keygen-only compile (~45 s of the k=22 keygen through the tunnel).
+        """
+        from halo2_tpu.poly.arith import _powers_dev_jit
+        n_inv = pow(n, P - 2, P)
+        acc = None
+        omega_inv = domain.omega_inv
+        build = _powers_dev_jit(n)      # compiled program shared w/ prover
         for r in one_rows:
-            vals[r] = 1
-        return domain.ntt.inverse(jnp.asarray(Fr.encode(vals)))
+            z_l = jnp.asarray(Fr.encode_scalar(pow(omega_inv, r, P)))
+            tab = build(z_l)            # NOT PointPowers.get: results of
+            acc = tab if acc is None else Fr.add(acc, tab)  # blind rows
+            tab = None                  # must not pin n-sized cache slots
+        scale = jnp.asarray(Fr.encode_scalar(n_inv))
+        return Fr.mul(acc, scale[:, None])
 
-    l0 = lag_coeff([0])
-    l_last = lag_coeff([n - (bf + 1)])
-    l_blind = lag_coeff(range(n - bf, n))
+
+    l0 = lag_coeff_closed([0])
+    l_last = lag_coeff_closed([n - (bf + 1)])
+    l_blind = lag_coeff_closed(range(n - bf, n))
     _pm("keygen l-polys")
 
     pk = ProvingKey(vk, fixed_lagrange, fixed_coeff, perm_pk,

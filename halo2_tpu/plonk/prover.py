@@ -298,6 +298,7 @@ def create_proof_multi(params, pk, circuits, instances_list,
     m = len(cs.permutation.columns)
 
     _pm = phase_marker()
+    pk.onload_lagrange_forms()   # restore forms a prior proof offloaded
     # 1. vk hash + instance commitments (absorbed as common points)
     vk.hash_into(transcript)
     instance_cols_list = []
@@ -450,6 +451,10 @@ def create_proof_multi(params, pk, circuits, instances_list,
             shuffle_zs_list[p_i].append(z)
 
     _pm("grand products/sums")
+    import os as _os0
+    if _os0.environ.get("HALO2_TPU_OFFLOAD_SRS") == "1" and n >= (1 << 22):
+        # Lagrange-basis pk forms are dead from here on (~1 GiB at k=22)
+        pk.offload_lagrange_forms()
     # 6. vanishing random poly -> y
     vanishing = VanishingProver(params, domain, rng)
     transcript.write_point(vanishing.random_commitment)
@@ -512,8 +517,11 @@ def create_proof_multi(params, pk, circuits, instances_list,
         # drain the h program before the streamed iNTT + piece MSMs start:
         # async dispatch otherwise overlaps the evaluator's transient
         # extended columns with the construct phase's working set and the
-        # warm k=22 re-prove OOMed (cold runs are saved by compile gaps)
+        # warm k=22 re-prove OOMed (cold runs are saved by compile gaps);
+        # the FORWARD extended twiddles (512 MiB mid table) are also dead
+        # until the next proof's coset extensions — re-uploaded lazily
         np.asarray(h_ext[0, :1])
+        domain.ntt_ext.drop_dev_tables(inverse=False)
     # 9. vanishing construct -> x
     h_pieces, h_commitments = vanishing.construct(h_ext)
     h_ext = None          # free the (16, ext_n) h values (512 MiB at k=22)

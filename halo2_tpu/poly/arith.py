@@ -14,6 +14,7 @@ host loops:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -99,10 +100,19 @@ def _powers_dev_jit(n: int):
 class PointPowers:
     """Powers table 1, z, z^2, ... z^{n-1} for a host scalar z (Montgomery;
     cached per (z, n)).  Built on DEVICE for large n (exact: Montgomery
-    muls), host-side for small n (avoids a compile per tiny size)."""
+    muls), host-side for small n (avoids a compile per tiny size).
+
+    LARGE tables are held in a bounded FIFO: every proof's challenges are
+    fresh, so per-challenge tables (x, 1/x, b, ...) can never hit again —
+    unbounded caching grew ~2 GiB of dead HBM per proof and OOMed the
+    warm k=22 re-prove.  Structural tables (omega powers) stay hot because
+    they are re-requested every proof and re-inserted on miss."""
 
     _cache: dict = {}
+    _big_keys: list = []
     DEVICE_MIN = 1 << 12
+    BIG_MIN = 1 << 20
+    BIG_MAX_ENTRIES = int(os.environ.get("HALO2_TPU_POWERS_CACHE_BIG", "6"))
 
     @classmethod
     def get(cls, z: int, n: int):
@@ -116,6 +126,11 @@ class PointPowers:
                 tab = jnp.asarray(
                     powers_table_np(z % Fr.p, n, Fr.p, Fr.to_mont_int))
             cls._cache[key] = tab
+            if n >= cls.BIG_MIN:
+                cls._big_keys.append(key)
+                while len(cls._big_keys) > cls.BIG_MAX_ENTRIES:
+                    old = cls._big_keys.pop(0)
+                    cls._cache.pop(old, None)
         return tab
 
 
