@@ -213,6 +213,28 @@ class SingleChipLayouter:
         self.backend.exit_region()
         return result
 
+    def assign_regions(self, name, fns, workers=None):
+        """Assign a batch of independent regions, in parallel when the
+        backend supports it (flat planner + prove mode + a shared-memory
+        witness backend — the rayon fan-out of prover.rs:1525-1781 /
+        flat.rs:286-336).  The closures must write disjoint cells and not
+        use constrain_constant.  Falls back to sequential assignment under
+        keygen, MockProver, and non-flat planners, so circuits written
+        against this API run everywhere.  Returns the closures' results
+        in order (parallel mode: results must pickle, else None)."""
+        can_parallel = (
+            self.flat and len(fns) > 1
+            and (workers is None or workers > 1)
+            and self.backend.is_in_prove_mode()
+            and getattr(self.backend, "supports_parallel_regions",
+                        lambda: False)())
+        if can_parallel:
+            from halo2_tpu.plonk.parallel_synthesis import \
+                run_parallel_regions
+            return run_parallel_regions(self, fns, workers)
+        return [self.assign_region(f"{name}#{i}", fn)
+                for i, fn in enumerate(fns)]
+
     def assign_table(self, name, fn):
         """Table region: after assignment, each touched fixed column is
         filled to the end of the usable area with its FIRST assigned value
@@ -356,6 +378,10 @@ class _V1MeasureLayouter:
         shape = _RegionShape(len(self.shapes))
         self.shapes.append(shape)
         return fn(Region(_ShapeRegionLayouter(shape, self)))
+
+    def assign_regions(self, name, fns, workers=None):
+        return [self.assign_region(f"{name}#{i}", fn)
+                for i, fn in enumerate(fns)]
 
     def assign_table(self, name, fn):
         return None

@@ -159,6 +159,61 @@ class WitnessCollection(Assignment):
         if vmax > self.max_value[ci]:
             self.max_value[ci] = vmax
 
+    def assign_advice_big(self, ci, row, v):
+        """Exact write of an already-reduced value that may exceed u64
+        (parallel-synthesis overflow merge path)."""
+        col = self.advice[ci]
+        if isinstance(col, np.ndarray) and v >> 64:
+            col = self._degrade(ci)
+        col[row] = v
+        if row > self.max_assigned[ci]:
+            self.max_assigned[ci] = row
+        if v > self.max_value[ci]:
+            self.max_value[ci] = v
+
+    def supports_parallel_regions(self):
+        return True
+
+    def share_columns(self):
+        """Move u64 advice columns into anonymous POSIX shared memory so
+        forked synthesis workers write directly into them (the *mut [F]
+        analogue of prover.rs:1548-1626).  Returns the per-column shared
+        views (None for degraded bigint columns, whose worker writes route
+        through the overflow merge).  Pair with unshare_columns() after
+        the join — shm lifetime is hazardous past the fan-out (GC of the
+        SharedMemory object unmaps the buffer under any surviving view)."""
+        from multiprocessing import shared_memory
+        self._shms, self._shm_cols = [], set()
+        for ci, col in enumerate(self.advice):
+            if not isinstance(col, np.ndarray):
+                continue
+            shm = shared_memory.SharedMemory(create=True, size=col.nbytes)
+            arr = np.ndarray(col.shape, np.uint64, buffer=shm.buf)
+            arr[:] = col
+            self.advice[ci] = arr
+            self._shms.append(shm)
+            self._shm_cols.add(ci)
+            try:  # memory lives while mapped; no leak even on crash
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+        return [self.advice[ci] if ci in self._shm_cols else None
+                for ci in range(len(self.advice))]
+
+    def unshare_columns(self):
+        """Copy columns back out of shared memory and release the
+        mappings (one memcpy per column — noise next to synthesis)."""
+        for ci in self._shm_cols:
+            if isinstance(self.advice[ci], np.ndarray):
+                self.advice[ci] = np.array(self.advice[ci], copy=True)
+        self._shm_cols = set()
+        for shm in self._shms:
+            try:
+                shm.close()
+            except BufferError:  # a stray view still holds the mapping
+                pass
+        self._shms = []
+
     def resolve_deferred(self):
         """Resolve rational cells with ONE batch inversion
         (batch_invert_assigned, poly.rs:148-173)."""

@@ -1,5 +1,6 @@
 #!/bin/bash
-# Per-module test runner with one retry per module.
+# Per-module test runner with one retry per module and optional
+# module-level parallelism.
 #
 # The XLA CPU compiler in this image intermittently crashes (SIGABRT in
 # backend_compile_and_load, SIGSEGV in executable (de)serialization) while
@@ -9,24 +10,59 @@
 # native crash aborts ONE module once and is retried, instead of killing
 # the whole session.  `python -m pytest tests/ -q` remains supported and
 # usually passes — this is the belt-and-braces CI entry point.
+#
+# PAR=N runs N modules concurrently (default 2: the suite is COMPILE-bound
+# and XLA-CPU compile is mostly single-threaded per process, so independent
+# module processes overlap well; memory is the practical cap).  PAR=1
+# restores the serial behaviour.
 set -u
 cd "$(dirname "$0")/.."
+PAR="${PAR:-2}"
+logdir=$(mktemp -d)
+
+run_module() {
+    local f="$1" log="$2"
+    for attempt in 1 2; do
+        if python -m pytest "$f" -q >"$log" 2>&1; then
+            return 0
+        fi
+        echo "RETRY $f (attempt $attempt failed)" >>"$log"
+    done
+    return 1
+}
+
 fail=0
 failed_modules=""
-for f in tests/test_*.py; do
-    ok=0
-    for attempt in 1 2; do
-        if python -m pytest "$f" -q; then
-            ok=1
-            break
+if [ "$PAR" -le 1 ]; then
+    for f in tests/test_*.py; do
+        if ! run_module "$f" "$logdir/$(basename "$f").log"; then
+            fail=1
+            failed_modules="$failed_modules $f"
         fi
-        echo "RETRY $f (attempt $attempt failed)" >&2
+        cat "$logdir/$(basename "$f").log"
     done
-    if [ $ok -eq 0 ]; then
-        fail=1
-        failed_modules="$failed_modules $f"
-    fi
-done
+else
+    pids=()
+    files=()
+    for f in tests/test_*.py; do
+        run_module "$f" "$logdir/$(basename "$f").log" &
+        pids+=($!)
+        files+=("$f")
+        # cap concurrency (poll running jobs; do NOT `wait -n` here — it
+        # would reap a job and lose the status the final wait collects)
+        while [ "$(jobs -rp | wc -l)" -ge "$PAR" ]; do
+            sleep 2
+        done
+    done
+    for i in "${!pids[@]}"; do
+        if ! wait "${pids[$i]}" 2>/dev/null; then
+            fail=1
+            failed_modules="$failed_modules ${files[$i]}"
+        fi
+        cat "$logdir/$(basename "${files[$i]}").log"
+    done
+fi
+rm -rf "$logdir"
 if [ $fail -ne 0 ]; then
     echo "FAILED modules:$failed_modules" >&2
 fi
