@@ -217,6 +217,10 @@ def measure_msm(msm_k: int, make_chain):
 
 def main():
     _setup_cache()
+    # nothing else is resident during the bench, so let the 2^20 rung run
+    # all windows in ONE scan group (the 3G default splits it and costs
+    # ~15% throughput; 7.5G is the k=22-proof-tested value)
+    os.environ.setdefault("HALO2_TPU_MSM_MEM", str(8053063680))
     deadline = float(os.environ.get("BENCH_WATCHDOG_S", "240"))
     threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
 

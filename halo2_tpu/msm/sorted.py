@@ -37,11 +37,14 @@ NB = 1 << C_BITS
 
 # signed-window configuration: c bits per window, digits recoded into
 # [-2^(c-1), 2^(c-1)] so the bucket table holds 2^(c-1)+1 entries (|digit|;
-# the sign rides on the point's y).  Fewer windows = fewer scan additions:
-# at 254-bit scalars c=13 gives 20 windows vs 32 for unsigned c=8, the
-# classic Pippenger work optimum W*(n + 2^(c-1)) (arithmetic.rs:20-108 uses
-# unsigned c=ln(n); the GPU kernels use c=8 fixed).
-SIGNED_C_BITS = 13
+# the sign rides on the point's y).  The classic Pippenger work model
+# W*(n + 2^(c-1)) (arithmetic.rs:20-108 uses unsigned c=ln(n); the GPU
+# kernels use c=8 fixed) picks c=13 at these sizes, but the DEVICE optimum
+# sits lower: the per-bucket costs (boundary gathers, MXU histogram, Abel
+# folds, all ∝ 2^(c-1)) price higher than scan adds on TPU.  Measured
+# sweep (examples/tune_msm_c.py, BASELINE.md round 4): c=11 3.61 M pts/s
+# @2^16 vs c=13 3.33 M; flat within 1.5% across c=11..13 @2^20.
+SIGNED_C_BITS = 11
 
 
 def _digits(scalars_std, num_windows: int):

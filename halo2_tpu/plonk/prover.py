@@ -236,9 +236,9 @@ class WitnessCollection(Assignment):
 def _quantize_max_bits(bits: int) -> int:
     """Snap a per-column scalar bound to the signed-window grid: the MSM
     program is keyed by its WINDOW COUNT, so quantizing to the largest bit
-    bound with the same c=13 window count gives exact per-column window
-    counts (prover.rs:237-254 uses the exact bound) while keeping the
-    compile cache small — a 20-bit column now pays 2 windows, not the 5 a
+    bound with the same SIGNED_C_BITS window count gives exact per-column
+    window counts (prover.rs:237-254 uses the exact bound) while keeping
+    the compile cache small — a 20-bit column pays 2 windows, not the 5 a
     64-bit tier forced."""
     from halo2_tpu.msm.sorted import SIGNED_C_BITS, num_windows_for
     w = num_windows_for(bits)
