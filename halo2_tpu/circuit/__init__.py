@@ -219,9 +219,11 @@ class SingleChipLayouter:
         witness backend — the rayon fan-out of prover.rs:1525-1781 /
         flat.rs:286-336).  The closures must write disjoint cells and not
         use constrain_constant.  Falls back to sequential assignment under
-        keygen, MockProver, and non-flat planners, so circuits written
-        against this API run everywhere.  Returns the closures' results
-        in order (parallel mode: results must pickle, else None)."""
+        keygen, MockProver, non-flat planners, and when any advice column
+        has already degraded to the bigint path (parallel writes to such a
+        column would all ship through the overflow pickle), so circuits
+        written against this API run everywhere.  Returns the closures'
+        results in order (parallel mode: results must pickle, else None)."""
         can_parallel = (
             self.flat and len(fns) > 1
             and (workers is None or workers > 1)

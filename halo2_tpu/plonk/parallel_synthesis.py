@@ -20,8 +20,12 @@ synthesis), so the TPU build uses the POSIX equivalent:
     pipe, and merged by the parent.
 
 Disjointness of the regions' writes is the circuit author's contract,
-exactly as in the reference (aliased writes are benign-last-wins there
-and here).  Workers must not touch JAX/device state — witness synthesis
+exactly as in the reference.  For circuits that violate it: aliased
+u64-representable writes within one worker are last-wins, but ordering
+between a u64 write and a bigint/deferred write to the same cell is
+UNDEFINED in parallel mode (direct writes land in shared memory
+immediately while overflow/deferred entries are replayed in the parent
+after the join).  Workers must not touch JAX/device state — witness synthesis
 is host-only by design — and must not use `constrain_constant` (the
 constants cursor is a sequential allocator; the keygen pass, which is
 where constants actually land, is never parallel).
@@ -210,6 +214,9 @@ def run_parallel_regions(layouter, fns, workers=None):
         return _fan_out(layouter, backend, fns, workers, shared_cols,
                         Region, _RegionLayouter, Fr.p)
     finally:
+        # drop the shm-backed views BEFORE unshare so shm.close() actually
+        # releases the mappings here (not later via GC)
+        shared_cols = None
         backend.unshare_columns()
 
 
@@ -272,8 +279,12 @@ def _fan_out(layouter, backend, fns, workers, shared_cols, Region,
         try:
             (size,) = struct.unpack("<Q", _read_exact(r, 8))
             state = pickle.loads(_read_exact(r, size))
-        except SynthesisError as e:
-            state = {"error": str(e)}
+        except Exception as e:
+            # a worker killed mid-write (OOM) yields a truncated or corrupt
+            # payload — struct.error / UnpicklingError, not just
+            # SynthesisError; convert to a per-worker error so the
+            # remaining children are still reaped below
+            state = {"error": repr(e)}
         finally:
             os.close(r)
         os.waitpid(pid, 0)

@@ -172,7 +172,11 @@ class WitnessCollection(Assignment):
             self.max_value[ci] = v
 
     def supports_parallel_regions(self):
-        return True
+        # A column already degraded to the bigint path would force every
+        # worker write to it through the per-cell overflow pickle (losing
+        # all parallelism and shipping the values over a pipe) — run
+        # sequentially instead.
+        return all(isinstance(c, np.ndarray) for c in self.advice)
 
     def share_columns(self):
         """Move u64 advice columns into anonymous POSIX shared memory so
