@@ -1,10 +1,17 @@
-"""2^22-size primitive probes (the k=22 proof verifies False; k=20 True).
+"""2^22-size primitive probes — the regression guard for the XLA:TPU
+miscompile class fixed in round 4 (fused scan+multiply corrupting the top
+half of large Kate quotients at n >= 2^21; see ntt/kate history).  These
+identities only exercise the buggy fusion shapes at n >= 2^21 on REAL TPU,
+so no CPU test tier can cover them; tests/test_tpu_probes.py runs this
+script on the axon device when HALO2_TPU_RUN_TPU=1.
 
-  A  NTT round-trip at 2^22: inverse(forward(x)) == x
-  B  KZG identity at 2^22: commit(coeffs) == commit_lagrange(forward(coeffs))
+  A  NTT round-trip at 2^k: inverse(forward(x)) == x
+  B  KZG identity at 2^k: commit(coeffs) == commit_lagrange(forward(coeffs))
      (covers MSM + NTT + SRS consistency in one check)
-  C  Kate identity at 2^22: q = kate(p, b); then p(z) - p(b) == q(z)*(z-b)
+  C  Kate identity at 2^k: q = kate(p, b); then p(z) - p(b) == q(z)*(z-b)
      at a random z (covers the chunked kate + eval powers at size)
+
+Exit status 0 iff all three identities hold.
 """
 
 import os
@@ -69,8 +76,10 @@ def main():
     q_z = eval_poly(q, z)
     lhs = (p_z - p_b) % Fr.p
     rhs = q_z * ((z - b) % Fr.p) % Fr.p
-    log(f"C kate identity 2^{k}: {'OK' if lhs == rhs else 'FAIL'}")
+    ok_c = lhs == rhs
+    log(f"C kate identity 2^{k}: {'OK' if ok_c else 'FAIL'}")
+    return ok_a and (a1 == a2) and ok_c
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(0 if main() else 1)

@@ -18,6 +18,10 @@ construction (public domain knowledge), reimplemented here.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import pickle
+
 from halo2_tpu.fields.bn254 import FQ_MODULUS, FR_MODULUS
 
 Q = FQ_MODULUS
@@ -499,15 +503,65 @@ class G2Prepared:
 
 _PREPARED_CACHE: dict = {}
 
+# Disk cache for prepared lines: the ~100 Miller-loop steps each pay an
+# Fq12 inversion in _line_coeffs (~0.5 s per G2 point), and the verifier's
+# G2 points (g2, s_g2) are fixed per SRS — so the first verify in a fresh
+# process can load the lines instead of recomputing them.  Keyed by a hash
+# of the G2 point's coordinates (equivalent to keying by SRS content for
+# these points).  Set HALO2_TPU_G2_CACHE=<dir> to relocate, or =0/off to
+# disable.
+_G2_CACHE_DIR = os.environ.get(
+    "HALO2_TPU_G2_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "halo2_tpu",
+                 "g2_lines"))
+
+
+def _disk_path(key):
+    if _G2_CACHE_DIR in ("0", "off", ""):
+        return None
+    h = hashlib.blake2b(repr(key).encode(), digest_size=16).hexdigest()
+    return os.path.join(_G2_CACHE_DIR, h + ".lines")
+
+
+def _steps_to_wire(steps):
+    return [(tag, None if m is None else m.coeffs, c.coeffs, has_y)
+            for tag, m, c, has_y in steps]
+
+
+def _steps_from_wire(wire):
+    return [(tag, None if m is None else FQ12(tuple(m)), FQ12(tuple(c)),
+             has_y) for tag, m, c, has_y in wire]
+
 
 def prepare_g2(q_g2) -> G2Prepared:
-    """Cached G2Prepared — the verifier's G2 points are fixed per SRS."""
+    """Cached G2Prepared — the verifier's G2 points are fixed per SRS.
+    Memory cache first, then the on-disk line cache, then compute+store."""
     key = (q_g2[0].coeffs, q_g2[1].coeffs)
     prep = _PREPARED_CACHE.get(key)
+    if prep is not None:
+        return prep
+    path = _disk_path(key)
+    if path is not None and os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                prep = G2Prepared.__new__(G2Prepared)
+                prep.steps = _steps_from_wire(pickle.load(f))
+        except Exception:
+            prep = None
     if prep is None:
         prep = G2Prepared(q_g2)
-        if len(_PREPARED_CACHE) < 16:
-            _PREPARED_CACHE[key] = prep
+        if path is not None:
+            try:
+                os.makedirs(_G2_CACHE_DIR, exist_ok=True)
+                tmp = path + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(_steps_to_wire(prep.steps), f,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, path)
+            except Exception:
+                pass
+    if len(_PREPARED_CACHE) < 16:
+        _PREPARED_CACHE[key] = prep
     return prep
 
 

@@ -75,3 +75,23 @@ def test_prepared_miller_matches_generic():
     fast = pr.final_exponentiation(prep.miller_loop(g1))
     slow = pr.miller_loop(pr.twist(g2), pr.cast_g1_to_fq12(g1))
     assert fast == slow
+
+
+def test_g2_line_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The on-disk prepared-lines format must reconstruct a G2Prepared
+    whose Miller loop matches a freshly computed one (bn254.prepare_g2
+    disk path)."""
+    from halo2_tpu.curves import host
+    import halo2_tpu.pairing.bn254 as pr
+
+    monkeypatch.setattr(pr, "_G2_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(pr, "_PREPARED_CACHE", {})
+    q = pr.g2_mul(pr.G2_GEN, 987654321)
+    fresh = pr.prepare_g2(q)          # computes + writes the file
+    monkeypatch.setattr(pr, "_PREPARED_CACHE", {})
+    loaded = pr.prepare_g2(q)         # must come from disk
+    assert loaded is not fresh
+    p = host.mul(host.G1_GEN, 31337)
+    assert loaded.miller_loop(p) == fresh.miller_loop(p)
+    assert pr.final_exponentiation(
+        loaded.miller_loop(p)) == pr.pairing(q, p)
