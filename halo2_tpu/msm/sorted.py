@@ -104,7 +104,11 @@ def _pack_xy(px, py):
     """Pack affine (x, y) 16-bit limb rows into one (16, n) uint32 array
     (two limbs per word).  The per-window point gather is random-access
     HBM traffic — packing halves the gathered bytes and folds the two
-    coordinate gathers into ONE take."""
+    coordinate gathers into ONE take.  (An unpacked 128-byte-row table
+    was tried in round 5 on the strength of the r3 gather microbench
+    [113 vs 32 GiB/s for 128B vs 64B rows] and was 5x SLOWER at 2^20 —
+    the microbench pattern does not transfer to the scan-layout gather;
+    measured S1 994 ms vs 195 ms, BASELINE.md r5.)"""
     def pack(c):
         return c[0::2] | (c[1::2] << LIMB_BITS)  # (8, n)
     return jnp.concatenate([pack(px), pack(py)], axis=0)
@@ -120,7 +124,7 @@ def _unpack_xy(packed):
 
 
 def _prefix_scan_group(pk_rows, sg_r):
-    """Prefix sums over PACKED sorted points in scan layout.
+    """Prefix sums over sorted points in scan layout.
 
     pk_rows: (S, G, B, 16) packed affine words, ROW-major (16 limb words
     contiguous per point — the layout the 64-byte-row HBM gather produces;
@@ -425,17 +429,33 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
     # (raw row gather: 2.5 ms for 1.3M rows; fused-transpose: ~17 ms).
     packed_rows = jax.lax.optimization_barrier(_pack_xy(px, py).T)  # (n, 16)
 
+    # fused single-array sort: when (key || index) fits one uint32 word,
+    # sorting ONE array instead of a (key, value) pair halves the sort's
+    # data movement — the sort was >1/3 of the 2^20 MSM (S1 204 ms of
+    # 395, BASELINE.md r5).  key <= 2^c + 1, so the fused word needs
+    # c + 1 + log2(n) <= 32 and a power-of-two n.
+    log2n = n.bit_length() - 1
+    fuse_sort = (n == 1 << log2n) and ((((1 << (c - 1)) << 1) | 1)
+                                       << log2n) | (n - 1) < (1 << 32)
+
     def one_group(_, ds):
         d, s = ds  # (G, n) magnitudes, (G, n) sign flags
-        # fold the sign bit into the sort key: lax.sort_key_val returns the
-        # sorted keys ALONGSIDE the permutation, so the sorted sign flags
-        # fall out of the sort for free — a take_along_axis of the bool
-        # flags cost ~14 ms at 2^16/W=20 (ablation f1, profile_gather.py).
+        # fold the sign bit into the sort key: the sorted sign flags fall
+        # out of the sort for free — a take_along_axis of the bool flags
+        # cost ~14 ms at 2^16/W=20 (ablation f1, profile_gather.py).
         # Order within a bucket is irrelevant (bucket sums commute).
         key = (d << 1) | s.astype(jnp.int32)
-        iota = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[None, :], (group, n))
-        key_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
+        if fuse_sort:
+            iota = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.uint32)[None, :], (group, n))
+            skey = (key.astype(jnp.uint32) << log2n) | iota
+            skey_sorted = jax.lax.sort(skey, dimension=1)
+            order = (skey_sorted & (n - 1)).astype(jnp.int32)
+            key_sorted = (skey_sorted >> log2n).astype(jnp.int32)
+        else:
+            iota = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :], (group, n))
+            key_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
         S = n // block
         # permute the INDICES into scan layout before gathering, so the
         # point gather lands directly as (S, G, B, 16) rows and no full

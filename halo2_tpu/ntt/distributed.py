@@ -138,26 +138,71 @@ class DistNTT:
 
     # ------------------------------------------------------------------
     @functools.cached_property
+    def _n_inv_limbs(self):
+        from halo2_tpu.ntt.ntt import powers_table_np
+        from halo2_tpu.fields.limbs import ints_to_limbs_np
+        return ints_to_limbs_np([Fr.to_mont_int(self.n_inv)])  # (16, 1)
+
+    def _make_sharded(self, nb: int, inverse: bool, divide: bool):
+        """jitted whole-array transform with `nb` leading batch dims:
+        (16, *B, n) natural order -> (16, *B, n) natural order, output
+        sharded on the mesh axis (contiguous blocks)."""
+        spec_in = Pspec(*([None] * (nb + 2)), self.axis)
+        spec_out = Pspec(*([None] * (nb + 1)), self.axis)
+
+        def local(xl):
+            y = (self.local_inverse_nodiv(xl) if inverse
+                 else self.local_forward(xl))
+            if divide:
+                ninv = jnp.asarray(self._n_inv_limbs).reshape(
+                    (N_LIMBS,) + (1,) * (y.ndim - 1))
+                y = F.mul(y, ninv)
+            return y
+
+        def run(x):
+            x4 = x.reshape(x.shape[:-1] + (self.n1, self.n2))
+            body = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(spec_in,), out_specs=spec_out,
+                check_vma=False,  # pallas_call out_shapes carry no vma
+            )
+            return body(x4).reshape(x.shape)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _sharded_cache(self):
+        return {}
+
+    def _sharded(self, nb: int, inverse: bool, divide: bool = False):
+        key = (nb, inverse, divide)
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            fn = self._sharded_cache[key] = self._make_sharded(
+                nb, inverse, divide)
+        return fn
+
+    @functools.cached_property
     def forward_sharded(self):
         """jitted fn: (16, n) array -> (16, n) evaluations sharded on the
         mesh axis (natural order, contiguous blocks per device)."""
-        spec_in = Pspec(None, None, self.axis)
-        spec_out = Pspec(None, self.axis)
-
-        def run(x):
-            x3 = x.reshape(N_LIMBS, self.n1, self.n2)
-            body = shard_map(
-                self.local_forward,
-                mesh=self.mesh,
-                in_specs=(spec_in,),
-                out_specs=spec_out,
-                check_vma=False,  # pallas_call out_shapes carry no vma
-            )
-            return body(x3).reshape(N_LIMBS, self.n)
-
-        return jax.jit(run)
+        return self._sharded(0, inverse=False)
 
     def forward(self, x):
         """x: (16, n) replicated-or-sharded device array, natural coeff
         order.  Returns evaluations in natural order (sharded on rows)."""
         return self.forward_sharded(x)
+
+    def inverse(self, x):
+        """Batched distributed inverse NTT WITH the 1/n divisor —
+        byte-identical to the single-chip `NTT.inverse` (exact mod-p
+        arithmetic, canonical residues).  x: (16, *B, n); output sharded
+        on the mesh axis.  Backs the prover's step-7 coeff-form iNTTs
+        under `params.use_mesh` (the multi-GPU `lagrange_to_coeff_st` of
+        keygen.rs:379-383 / prover.rs:639-661)."""
+        return self._sharded(x.ndim - 2, inverse=True, divide=True)(x)
+
+    def inverse_nodiv(self, x):
+        """Batched distributed inverse NTT WITHOUT the divisor (callers
+        fold 1/n into other constants, like domain.rs:124-131)."""
+        return self._sharded(x.ndim - 2, inverse=True, divide=False)(x)

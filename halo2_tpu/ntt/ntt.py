@@ -220,6 +220,24 @@ class NTT:
         profiling.incr("ntt_calls")
         return self._inv_jit(a, self._tables_dev(True))
 
+    @functools.cached_property
+    def _inv_jit_donated(self):
+        def run(a, tb):
+            out = self._transform(a, tb)
+            return F.mul(out, self.n_inv_mont.reshape(
+                (N_LIMBS,) + (1,) * (a.ndim - 1)))
+        return jax.jit(run, donate_argnums=(0,))
+
+    def inverse_donated(self, a):
+        """inverse() that DONATES the input buffer — for callers whose
+        Lagrange form dies at this transform (the prover's step-7 iNTTs:
+        512 MiB per column stack at k=22 feeds the transform in place
+        instead of doubling the working set).  A separate jit from
+        `inverse` so other call sites keep non-donating semantics."""
+        from halo2_tpu.utils import profiling
+        profiling.incr("ntt_calls")
+        return self._inv_jit_donated(a, self._tables_dev(True))
+
     def inverse_nodiv(self, a):
         """Inverse transform WITHOUT the 1/n divisor (callers fold the
         divisor into other constants, like the reference's ifft_divisor,

@@ -200,12 +200,33 @@ class ProvingKey:
         """Move the Lagrange-basis pk forms (fixed columns, sigma tables)
         to host RAM — they are dead after the prover's z-commit phases,
         and at k=22 the ~1 GiB they pin was part of the construct-phase
-        OOM.  Restored lazily by onload_lagrange_forms."""
-        self.fixed_lagrange = np.asarray(self.fixed_lagrange)
-        self.permutation_pk.sigmas_lagrange = np.asarray(
-            self.permutation_pk.sigmas_lagrange)
+        OOM.  The device->host copies run on a BACKGROUND thread (the
+        ~1.5 GiB at tunnel bandwidth is seconds of otherwise dead time —
+        the reference overlaps its phases the same way,
+        prover.rs:411-626); join_offloads() completes them before the
+        HBM headroom is actually needed.  Restored lazily by
+        onload_lagrange_forms."""
+        import threading
+        devs = [self.fixed_lagrange, self.permutation_pk.sigmas_lagrange]
+
+        def copy_out():
+            self.fixed_lagrange = np.asarray(devs[0])
+            self.permutation_pk.sigmas_lagrange = np.asarray(devs[1])
+            devs.clear()      # release the device buffers
+        t = threading.Thread(target=copy_out, daemon=True)
+        t.start()
+        self._offload_thread = t
+
+    def join_offloads(self):
+        """Wait for a pending offload's copies to finish (the device HBM
+        is only freed once the copy completes and the reference drops)."""
+        t = getattr(self, "_offload_thread", None)
+        if t is not None:
+            t.join()
+            self._offload_thread = None
 
     def onload_lagrange_forms(self):
+        self.join_offloads()
         if isinstance(self.fixed_lagrange, np.ndarray):
             self.fixed_lagrange = jnp.asarray(self.fixed_lagrange)
         if isinstance(self.permutation_pk.sigmas_lagrange, np.ndarray):

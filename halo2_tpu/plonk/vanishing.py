@@ -67,11 +67,13 @@ class VanishingProver:
 
         return combine(lo, hi, shift)
 
-    def construct(self, h_ext):
-        """h numerator on extended coset -> (pieces (16, qd, n), commitments)."""
+    def construct(self, h_ext, mesh=None, axis="x"):
+        """h numerator on extended coset -> (pieces (16, qd, n), commitments).
+        With a mesh, the extended iNTT runs as the distributed four-step
+        transform (domain.extended_to_coeff mesh path)."""
         domain = self.domain
         h = domain.divide_by_vanishing_poly(Polynomial(h_ext, "extended"))
-        h_coeff = domain.extended_to_coeff(h)  # (16, n*qd)
+        h_coeff = domain.extended_to_coeff(h, mesh=mesh, axis=axis)  # (16, n*qd)
         qd = domain.quotient_poly_degree
         pieces = h_coeff.reshape(16, qd, domain.n)
         # all piece MSMs dispatch async; ONE batched to_affine + host decode
@@ -83,14 +85,16 @@ class VanishingProver:
             _np.asarray(pieces[0, 0, :1])   # retire the iNTT before MSMs
         for i in range(qd):
             proj = self.params.commit(pieces[:, i, :])
-            if domain.n >= (1 << 22):
-                # serialize the piece MSMs: at 2^22 each scan group's
-                # working set is multi-GiB and async dispatch of qd of
-                # them together OOMed the warm k=22 re-prove (a tiny host
-                # read forces completion; block_until_ready returns early
-                # through the axon tunnel)
-                _np.asarray(proj[0][:1])
             projs.append(proj)
+            if domain.n >= (1 << 22) and i >= 1:
+                # bound in-flight piece MSMs to TWO: at 2^22 each scan
+                # group's working set is multi-GiB and async dispatch of
+                # all qd together OOMed the warm k=22 re-prove; full
+                # serialization wasted the dispatch gap — draining piece
+                # i-1 while piece i's scan runs double-buffers them
+                # (VERDICT r4 #3; a tiny host read forces completion,
+                # block_until_ready returns early through the axon tunnel)
+                _np.asarray(projs[i - 1][0][:1])
         stacked = tuple(_jnp.stack([p[i] for p in projs], axis=1)
                         for i in range(3))
         commitments = _g1.decode_points(_jnp.stack(_g1.to_affine(stacked)))

@@ -189,13 +189,33 @@ class Params:
         """Move the Lagrange SRS to host RAM (frees 128 B/point of HBM —
         1 GiB at k=22).  The prover calls this once its last
         Lagrange-basis commitment is done (HALO2_TPU_OFFLOAD_SRS=1); the
-        next commit_lagrange restores it transparently."""
+        copy runs on a background thread so the host keeps dispatching;
+        the next commit_lagrange / join joins it and restores lazily."""
         import numpy as _np
-        if not isinstance(self.g_lagrange, _np.ndarray):
-            self.g_lagrange = _np.asarray(self.g_lagrange)
+        import threading
+        if isinstance(self.g_lagrange, _np.ndarray):
+            return
+        t = getattr(self, "_offload_thread", None)
+        if t is not None and t.is_alive():
+            return
+        dev = [self.g_lagrange]
+
+        def copy_out():
+            self.g_lagrange = _np.asarray(dev[0])
+            dev.clear()
+        t = threading.Thread(target=copy_out, daemon=True)
+        t.start()
+        self._offload_thread = t
+
+    def join_offload(self):
+        t = getattr(self, "_offload_thread", None)
+        if t is not None:
+            t.join()
+            self._offload_thread = None
 
     def _lagrange_dev(self):
         import numpy as _np
+        self.join_offload()
         if isinstance(self.g_lagrange, _np.ndarray):
             self.g_lagrange = jnp.asarray(self.g_lagrange)
         return self.g_lagrange

@@ -189,24 +189,64 @@ class EvaluationDomain:
         padded = padded.at[:, : self.n].set(shifted)
         return self.ntt_ext.forward_traced(padded)
 
-    def extended_to_coeff(self, p: Polynomial) -> jnp.ndarray:
+    def dist_ntt(self, mesh, axis="x", extended: bool = False):
+        """Cached DistNTT over this domain (or its extended domain) for a
+        mesh axis — the multi-chip transform used by the prover when
+        `params.use_mesh` is set (ntt/distributed.py)."""
+        from halo2_tpu.ntt.distributed import DistNTT
+        if not hasattr(self, "_dist_cache"):
+            self._dist_cache = {}
+        key = (id(mesh), axis, extended)
+        d = self._dist_cache.get(key)
+        if d is None:
+            d = self._dist_cache[key] = DistNTT(
+                self.extended_k if extended else self.k, mesh, axis,
+                omega=self.extended_omega if extended else self.omega)
+        return d
+
+    def extended_to_coeff(self, p: Polynomial, mesh=None,
+                          axis="x") -> jnp.ndarray:
         """Extended evals -> quotient coefficients, truncated to
         n * quotient_poly_degree (domain.rs:328-350). Returns raw (16, t).
 
-        Large domains (extended_n >= HALO2_TPU_STREAM_NTT_MIN, default
-        2^23) go through the chunked streaming inverse transform — the
-        monolithic program's working set OOMed the 16 GiB chip at k=22
-        (BASELINE.md round-3 "k=22 attempt"); the streamed path caps peak
-        HBM at input+output+mid+chunk.  CONSUMES p.values either way
-        (donated)."""
+        With a mesh: the inverse transform is the DISTRIBUTED four-step
+        NTT (all_to_all transpose over the mesh axis) — the multi-chip
+        analogue of the reference's per-GPU extended iFFTs
+        (evaluation_gpu.rs:863-911); each chip's slice is ext_n/D so no
+        streaming is needed.  Single chip: large domains (extended_n >=
+        HALO2_TPU_STREAM_NTT_MIN, default 2^23) go through the chunked
+        streaming inverse transform — the monolithic program's working
+        set OOMed the 16 GiB chip at k=22 (BASELINE.md round-3 "k=22
+        attempt"); the streamed path caps peak HBM at
+        input+output+mid+chunk.  CONSUMES p.values either way."""
         assert p.basis == "extended"
         import os
+        values, p.values = p.values, None       # consume: the buffer dies here
+        if mesh is not None:
+            return self._extended_to_coeff_dist(values, mesh, axis)
         stream_min = int(os.environ.get("HALO2_TPU_STREAM_NTT_MIN",
                                         str(1 << 23)))
-        values, p.values = p.values, None       # consume: the buffer dies here
         if self.extended_n >= stream_min:
             return self._extended_to_coeff_streamed(values)
         return self._extended_to_coeff_jit(values)
+
+    def _extended_to_coeff_dist(self, values, mesh, axis) -> jnp.ndarray:
+        dist = self.dist_ntt(mesh, axis, extended=True)
+        coeffs = dist.inverse_nodiv(values)
+        values = None
+        tail = self.n * self.quotient_poly_degree
+        n_inv = self.ntt_ext.n_inv
+        # same divisor-folded zeta^{-i mod 3} pattern as the streamed path
+        pat = [n_inv, n_inv * self.g_coset_inv % F.p,
+               n_inv * self.g_coset_inv * self.g_coset_inv % F.p]
+        pat_np = ints_to_limbs_np([F.to_mont_int(v) for v in pat])
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fin(c):
+            tile = jnp.tile(jnp.asarray(pat_np), (1, -(-tail // 3)))[:, :tail]
+            return Fr.raw.mul(c[:, :tail], tile)
+
+        return fin(coeffs)
 
     def _extended_to_coeff_streamed(self, values) -> jnp.ndarray:
         coeffs = self.ntt_ext.inverse_streamed_nodiv(values)

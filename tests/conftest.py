@@ -46,9 +46,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # class) in this image — observed across many full-suite runs in both
 # put_executable_and_time and get_executable_and_time, with zstd AND
 # zlib, thunk runtime on AND off; single-module runs usually survive.
-# Mitigation: do not persist programs whose compile took longer than
-# HALO2_TPU_CACHE_MAX_COMPILE_S (the crashers are exactly the slowest
-# compiles) — those recompile each session; everything else stays cached.
+# Round 5 reproduced a crash on a sub-100s program too, so the
+# compile-time gate alone is insufficient.  Mitigation, two layers:
+#   1. do not persist programs whose compile took longer than
+#      HALO2_TPU_CACHE_MAX_COMPILE_S (the most frequent crashers) —
+#      those recompile each session;
+#   2. run every allowed cache WRITE in a forked child process: a
+#      serializer segfault then loses one cache entry instead of
+#      killing the test process mid-suite.  The child only serializes
+#      and writes a file; an alarm guards against fork-with-locks
+#      hangs.  (jax cache writes are temp+rename, so a crashed child
+#      cannot leave a torn entry for the deserializer to trip on.)
 try:
     from jax._src import compilation_cache as _cc
 
@@ -60,9 +68,23 @@ try:
         if compile_time > _MAX_PERSIST_S:
             return
         try:
-            _orig_put(cache_key, module_name, executable, backend,
-                      compile_time)
-        except Exception:
+            pid = os.fork()
+        except OSError:
+            return
+        if pid == 0:
+            status = 0
+            try:
+                import signal
+                signal.alarm(120)
+                _orig_put(cache_key, module_name, executable, backend,
+                          compile_time)
+            except BaseException:
+                status = 1
+            finally:
+                os._exit(status)
+        try:
+            os.waitpid(pid, 0)
+        except ChildProcessError:
             pass
 
     _cc.put_executable_and_time = _gated_put

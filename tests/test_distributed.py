@@ -32,6 +32,22 @@ def test_dist_ntt_matches_single(mesh, log_n):
     assert got == single
 
 
+@pytest.mark.parametrize("log_n", [8, 10])
+def test_dist_ntt_inverse_matches_single(mesh, log_n):
+    """Batched distributed inverse (step-7 prover path under use_mesh)
+    must be BYTE-identical to the single-chip inverse, divisor included."""
+    n = 1 << log_n
+    cols = [[rng.randrange(Fr.p) for _ in range(n)] for _ in range(2)]
+    a = jnp.stack([jnp.asarray(Fr.encode(c)) for c in cols], axis=1)
+    single = np.asarray(NTT(log_n).inverse(a))
+    dist = DistNTT(log_n, mesh)
+    got = np.asarray(dist.inverse(a))
+    assert np.array_equal(got, single)
+    # nodiv variant: differs from `inverse` exactly by the 1/n factor
+    nodiv = np.asarray(dist.inverse_nodiv(a))
+    assert np.array_equal(nodiv, np.asarray(NTT(log_n).inverse_nodiv(a)))
+
+
 def test_dist_ntt_sharded_input(mesh):
     log_n = 9
     n = 1 << log_n

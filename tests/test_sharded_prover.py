@@ -164,6 +164,52 @@ class Deg5Circuit:
         layouter.assign_region("deg5", fn)
 
 
+def test_sharded_proof_all_args_k10(mesh):
+    """Sharded byte-identity with the FULL argument stack at k=10
+    (ext_k=12): shared-table logup with two chunked input sets (z
+    chaining through the last-rotation roll), a shuffle, a range check,
+    permutation, and a public input — so the lookup/shuffle z and m
+    columns run through _dist_roll, the distributed coset extension, the
+    distributed step-7 iNTTs, and the distributed extended iNTT
+    (VERDICT r4 #4; the reference runs logup across GPUs,
+    evaluation.rs:1510-1823)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples"))
+    from bench_all_args import AllArgsCircuit
+
+    from halo2_tpu.circuit import FlatFloorPlanner
+    from halo2_tpu.plonk.circuit import ConstraintSystem
+
+    k10 = 10
+    n = 1 << k10
+    params = Params.unsafe_setup(k10, seed=17)
+    probe = ConstraintSystem()
+    AllArgsCircuit(1).configure(probe)
+    probe.chunk_lookups()
+    probe.chunk_shuffles()
+    rows = probe.usable_rows(n)
+    circuit = AllArgsCircuit(rows)
+    vk, pk = keygen(params, circuit, floor_planner=FlatFloorPlanner)
+    a0 = int(np.random.RandomState(5).randint(0, 16, size=1)[0])
+    instance = [[a0]]
+    proof_single = create_proof(params, pk, circuit, instance, seed=0,
+                                floor_planner=FlatFloorPlanner)
+    params.use_mesh(mesh)
+    old_gate = Params.MESH_MSM_MIN
+    Params.MESH_MSM_MIN = 1   # n=2^10: let MSMs and iNTTs take the mesh path
+    try:
+        proof_sharded = create_proof(params, pk, circuit, instance, seed=0,
+                                     floor_planner=FlatFloorPlanner)
+    finally:
+        Params.MESH_MSM_MIN = old_gate
+        params.use_mesh(None)
+    assert proof_sharded == proof_single
+    assert verify_proof(params.verifier(1), vk, instance, proof_sharded)
+
+
 def test_sharded_proof_deg5_k10(mesh):
     """Byte-identity of the sharded pipeline at ext_k = 12 (the K=6 smoke
     test only reaches ext_k 7): multi-row all_to_all tiles in the
