@@ -173,9 +173,12 @@ def save_witness(advice_cols: list, path: str) -> None:
             quad[:, 0] = col
             quad[:, 1:] = 0
         else:
-            mm[:] = np.frombuffer(
-                b"".join(int(v).to_bytes(32, "little") for v in col),
-                dtype=np.uint8)
+            from halo2_tpu import native
+            blob = native.longs_to_blob(col if isinstance(col, list)
+                                        else list(col))
+            if blob is None:
+                blob = b"".join(int(v).to_bytes(32, "little") for v in col)
+            mm[:] = np.frombuffer(blob, dtype=np.uint8)
         mm.flush()
         del mm
 

@@ -166,9 +166,41 @@ static PyObject* counting_sort_u32(PyObject*, PyObject* args) {
     return out_bytes;
 }
 
+// longs_to_blob(values: list[int]) -> bytes (N*32 little-endian rows).
+// The witness hot path for degraded (bigint) columns: converting 1M
+// Python ints with int.to_bytes costs ~2 s in the interpreter; this
+// loop does the same export through the CPython long API in ~0.05 s.
+// Values must be nonnegative and < 2^256 (the witness-column contract
+// keeps them < p); anything else raises and the caller falls back to
+// the Python join.
+static PyObject* longs_to_blob(PyObject*, PyObject* args) {
+    PyObject* list;
+    if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &list)) return nullptr;
+    Py_ssize_t n = PyList_GET_SIZE(list);
+    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 32);
+    if (!out_bytes) return nullptr;
+    unsigned char* out = (unsigned char*)PyBytes_AsString(out_bytes);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject* v = PyList_GET_ITEM(list, i);
+        if (!PyLong_Check(v)) {
+            Py_DECREF(out_bytes);
+            PyErr_SetString(PyExc_TypeError, "longs_to_blob: not an int");
+            return nullptr;
+        }
+        if (_PyLong_AsByteArray((PyLongObject*)v, out + 32 * i, 32,
+                                /*little_endian=*/1, /*is_signed=*/0) < 0) {
+            Py_DECREF(out_bytes);
+            return nullptr;  // OverflowError / negative
+        }
+    }
+    return out_bytes;
+}
+
 static PyMethodDef methods[] = {
     {"encode_mont", encode_mont, METH_VARARGS,
      "canonical value bytes -> Montgomery limb planes"},
+    {"longs_to_blob", longs_to_blob, METH_VARARGS,
+     "list of ints -> 32-byte little-endian rows"},
     {"decode_mont", decode_mont, METH_VARARGS,
      "Montgomery limb planes -> canonical value bytes"},
     {"counting_sort_u32", counting_sort_u32, METH_VARARGS,

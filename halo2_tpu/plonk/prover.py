@@ -422,7 +422,10 @@ def create_proof_multi(params, pk, circuits, instances_list,
             def col_to_dev(c):
                 if isinstance(c, np.ndarray):
                     return Fr.encode_u64_dev(c[None])[:, 0, :]
-                blob = b"".join(int(v).to_bytes(32, "little") for v in c)
+                from halo2_tpu import native
+                blob = native.longs_to_blob(c)
+                if blob is None:
+                    blob = b"".join(int(v).to_bytes(32, "little") for v in c)
                 return Fr.encode_le_bytes_dev(blob, n)
 
             if witness.advice and all(isinstance(c, np.ndarray)
