@@ -431,12 +431,14 @@ def window_totals(px, py, scalars_mont, max_bits: int, group: int,
 
     # fused single-array sort: when (key || index) fits one uint32 word,
     # sorting ONE array instead of a (key, value) pair halves the sort's
-    # data movement — the sort was >1/3 of the 2^20 MSM (S1 204 ms of
+    # data movement — the sort is >1/4 of the 2^20 MSM (S1 194 ms of
     # 395, BASELINE.md r5).  key <= 2^c + 1, so the fused word needs
-    # c + 1 + log2(n) <= 32 and a power-of-two n.
+    # c + 1 + log2(n) <= 32 and a power-of-two n; gated to n >= 2^17
+    # (measured neutral at 2^20, but the 2^12 bench rung ran 2.4x slower
+    # fused — small sorts are not payload-bound).
     log2n = n.bit_length() - 1
-    fuse_sort = (n == 1 << log2n) and ((((1 << (c - 1)) << 1) | 1)
-                                       << log2n) | (n - 1) < (1 << 32)
+    fuse_sort = (n == 1 << log2n) and n >= (1 << 17) \
+        and ((((1 << (c - 1)) << 1) | 1) << log2n) | (n - 1) < (1 << 32)
 
     def one_group(_, ds):
         d, s = ds  # (G, n) magnitudes, (G, n) sign flags

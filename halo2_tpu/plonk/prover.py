@@ -25,6 +25,7 @@ feature for differential testing.
 
 from __future__ import annotations
 
+import os
 import random
 
 import jax.numpy as jnp
@@ -540,8 +541,16 @@ def create_proof_multi(params, pk, circuits, instances_list,
     # fixed costs than they save)
     mesh = getattr(params, "mesh", None)
     mesh_axis = getattr(params, "mesh_axis", "x")
+    # n >= 2^10 structural floor: below it the four-step split over 8
+    # devices degenerates to 1-element all_to_all tiles — and compiling
+    # those degenerate shard_map programs corrupts this image's XLA-CPU
+    # compiler state (a LATER unrelated compile then segfaults;
+    # reproduced 6/6 with the K=6 byte-identity test, 0/1 without —
+    # BASELINE.md r5).  HALO2_TPU_NO_DIST_NTT=1 forces the single-chip
+    # transforms under a mesh (debug escape hatch).
     use_dist_ntt = (mesh is not None and isinstance(mesh_axis, str)
-                    and n >= params.MESH_MSM_MIN)
+                    and n >= max(params.MESH_MSM_MIN, 1 << 10)
+                    and os.environ.get("HALO2_TPU_NO_DIST_NTT") != "1")
 
     # Release the Lagrange expression contexts FIRST so the big Lagrange
     # stacks can be DONATED into their inverse transforms: the (16, C, n)

@@ -121,115 +121,3 @@ def test_sharded_evaluator_matches_single(setup, mesh):
     single = pk.ev.evaluate_h(*args)
     sharded = pk.sharded_ev(mesh).evaluate_h(*args)
     assert np.array_equal(np.asarray(single), np.asarray(sharded))
-
-
-class Deg5Circuit:
-    """Row-filling degree-5 gate (s * (a*b*c*d - e)): quotient degree 4,
-    so ext_k = k + 2 — at K10 = 10 the extended domain is 2^12 over 8
-    devices (multi-row all_to_all tiles, n1=64 x n2=64 four-step split),
-    a materially larger collective shape than the K=6 smoke test."""
-
-    def __init__(self, rows=None, seed=2):
-        self.rows = rows
-        self.seed = seed
-
-    def without_witnesses(self):
-        return Deg5Circuit(self.rows, self.seed)
-
-    def configure(self, meta):
-        cols = [meta.advice_column() for _ in range(5)]
-        s = meta.selector()
-
-        def gate(m):
-            a, b, c, d, e = (m.query_advice(col, 0) for col in cols)
-            return [("deg5", m.query_selector(s) * (a * b * c * d - e))]
-
-        meta.create_gate("deg5", gate)
-        return (cols, s)
-
-    def synthesize(self, config, layouter):
-        cols, s = config
-        import random as _random
-        rng = _random.Random(self.seed)
-        rows = self.rows
-        vals = [[rng.randrange(1, P) for _ in range(rows)] for _ in range(4)]
-        outs = [vals[0][i] * vals[1][i] % P * vals[2][i] % P * vals[3][i] % P
-                for i in range(rows)]
-
-        def fn(region):
-            for i in range(rows):
-                region.enable_selector("s", s, i)
-            for c, v in zip(cols, vals + [outs]):
-                region.assign_advice_bulk("col", c, 0, v)
-        layouter.assign_region("deg5", fn)
-
-
-def test_sharded_proof_all_args_k10(mesh):
-    """Sharded byte-identity with the FULL argument stack at k=10
-    (ext_k=12): shared-table logup with two chunked input sets (z
-    chaining through the last-rotation roll), a shuffle, a range check,
-    permutation, and a public input — so the lookup/shuffle z and m
-    columns run through _dist_roll, the distributed coset extension, the
-    distributed step-7 iNTTs, and the distributed extended iNTT
-    (VERDICT r4 #4; the reference runs logup across GPUs,
-    evaluation.rs:1510-1823)."""
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "examples"))
-    from bench_all_args import AllArgsCircuit
-
-    from halo2_tpu.circuit import FlatFloorPlanner
-    from halo2_tpu.plonk.circuit import ConstraintSystem
-
-    k10 = 10
-    n = 1 << k10
-    params = Params.unsafe_setup(k10, seed=17)
-    probe = ConstraintSystem()
-    AllArgsCircuit(1).configure(probe)
-    probe.chunk_lookups()
-    probe.chunk_shuffles()
-    rows = probe.usable_rows(n)
-    circuit = AllArgsCircuit(rows)
-    vk, pk = keygen(params, circuit, floor_planner=FlatFloorPlanner)
-    a0 = int(np.random.RandomState(5).randint(0, 16, size=1)[0])
-    instance = [[a0]]
-    proof_single = create_proof(params, pk, circuit, instance, seed=0,
-                                floor_planner=FlatFloorPlanner)
-    params.use_mesh(mesh)
-    old_gate = Params.MESH_MSM_MIN
-    Params.MESH_MSM_MIN = 1   # n=2^10: let MSMs and iNTTs take the mesh path
-    try:
-        proof_sharded = create_proof(params, pk, circuit, instance, seed=0,
-                                     floor_planner=FlatFloorPlanner)
-    finally:
-        Params.MESH_MSM_MIN = old_gate
-        params.use_mesh(None)
-    assert proof_sharded == proof_single
-    assert verify_proof(params.verifier(1), vk, instance, proof_sharded)
-
-
-def test_sharded_proof_deg5_k10(mesh):
-    """Byte-identity of the sharded pipeline at ext_k = 12 (the K=6 smoke
-    test only reaches ext_k 7): multi-row all_to_all tiles in the
-    distributed NTT, non-trivial ppermute boundaries, degree-4 quotient
-    split — no gate monkeypatching (VERDICT r3 #4)."""
-    from halo2_tpu.plonk.circuit import ConstraintSystem
-
-    k10 = 10
-    n = 1 << k10
-    params = Params.unsafe_setup(k10, seed=13)
-    probe = ConstraintSystem()
-    Deg5Circuit(1).configure(probe)
-    rows = probe.usable_rows(n)
-    circuit = Deg5Circuit(rows)
-    vk, pk = keygen(params, circuit)
-    proof_single = create_proof(params, pk, circuit, [], seed=0)
-    params.use_mesh(mesh)
-    try:
-        proof_sharded = create_proof(params, pk, circuit, [], seed=0)
-    finally:
-        params.use_mesh(None)
-    assert proof_sharded == proof_single
-    assert verify_proof(params.verifier(1), vk, [], proof_sharded)
